@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs (a) every queries() entry from __spark_entry__.py against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and (b) the full
+constraint-validation suite over a synthesized interleaved-span documents
+table, on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "suite_docs_per_sec": ...}
+
+Execution is forced with the noop sink (full computation, no driver
+materialization). Scaling evidence (local[8] vs local[32]) is produced by
+scripts/run_bench.sh into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SUITE_DOCS = int(os.environ.get("SPARK_GRAFT_SUITE_DOCS", "100000"))
+
+
+def main() -> None:
+    from __spark_entry__ import queries
+    from logdata_anomaly_miner_spark.constraints.suite import SuiteConfig, run_suite
+    from logdata_anomaly_miner_spark.datagen import gen_documents, gen_media
+    from logdata_anomaly_miner_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="lams-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, fn in queries().items():
+        t0 = time.time()
+        force(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # Full validation suite over synthesized documents (the headline workload)
+    t0 = time.time()
+    docs = gen_documents(
+        spark, n_docs=SUITE_DOCS, dup_rate=0.001, dangling_rate=0.02,
+        n_partitions=CPUS * 4,
+    )
+    media = gen_media(spark, 1000)
+    res = run_suite(spark, docs, media, SuiteConfig(entropy_prob_thresh=0.0001))
+    force(res.verdicts)
+    suite_wall = time.time() - t0
+    timings["validation_suite"] = round(suite_wall, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total wall time: all engine queries @ sf + full validation suite "
+                  f"on {SUITE_DOCS} synthetic interleaved-span documents",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "suite_docs": SUITE_DOCS,
+        "suite_docs_per_sec": round(SUITE_DOCS / suite_wall, 1),
+        "suite_metrics": res.metrics,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""The validation suite: every constraint family over one documents table,
+one pass, per-partition verdicts + violations + metrics.
+
+This is the engine's "analysis pipeline" ≙ AMiner's AnalysisChild select loop
+pushing each atom through every registered detector
+(aminer/AnalysisChild.py:298-408) — re-expressed as N DataFrame constraint
+programs over ONE cached exploded-spans view, unioned into a single
+violations DataFrame. The fan-out is SubhandlerFilter
+(aminer/analysis/AtomFilters.py:18-54) made set-oriented.
+
+Partitioning model: `partition` = UTC day bucket of the document event time
+(a natural Iceberg partition spec). Verdicts aggregate violations per
+(partition, suite); the suite passes a partition iff it contributed no
+violation rows. Checkpointed runs commit per partition (plans/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logdata_anomaly_miner_spark.constraints.drift import histogram, psi_kl
+from logdata_anomaly_miner_spark.constraints.referential import dangling_refs
+from logdata_anomaly_miner_spark.constraints.uniqueness import duplicate_keys_salted
+from logdata_anomaly_miner_spark.constraints.schema_checks import (
+    media_kind_consistency,
+    offsets_monotonic,
+    required_non_null,
+    unknown_kinds,
+)
+from logdata_anomaly_miner_spark.datagen import KINDS, explode_spans
+from logdata_anomaly_miner_spark.operators.entropy import (
+    check_entropy,
+    learn_bigram_freq,
+    score_entropy_pandas,
+)
+from logdata_anomaly_miner_spark.operators.new_value import check_new_values
+
+
+@dataclass
+class SuiteConfig:
+    kind_vocab: tuple[str, ...] = tuple(KINDS)
+    entropy_prob_thresh: float = 0.001
+    drift_psi_threshold: float = 0.2
+    n_hist_buckets: int = 10
+    known_kind_text: DataFrame | None = None     # new-value baseline (kind, text)
+    entropy_freq: DataFrame | None = None        # bigram baseline (first, second, cnt)
+    baseline_hist: DataFrame | None = None       # drift baseline (kind, bucket, cnt)
+    text_len_bounds: tuple[float, float] = (0.0, 200.0)
+
+
+@dataclass
+class SuiteResult:
+    violations: DataFrame
+    verdicts: DataFrame
+    metrics: dict = field(default_factory=dict)
+
+
+def _viol(df: DataFrame, suite: str, message: str) -> DataFrame:
+    """Project any check output onto the unified violation schema."""
+    cols = df.columns
+    pick = lambda c: F.col(c).cast("string") if c in cols else F.lit(None).cast("string")  # noqa: E731
+    return df.select(
+        F.lit(suite).alias("suite"),
+        F.lit(message).alias("message"),
+        (F.col("partition") if "partition" in cols else F.lit(None).cast("string")).alias("partition"),
+        pick("doc_id").alias("doc_id"),
+        pick("kind").alias("kind"),
+        pick("text").alias("value"),
+        pick("media_ref").alias("media_ref"),
+    )
+
+
+def run_suite(
+    spark: SparkSession,
+    documents: DataFrame,
+    media: DataFrame,
+    config: SuiteConfig | None = None,
+) -> SuiteResult:
+    """Run all constraint suites; returns violations, per-partition verdicts,
+    and job metrics. One cache of the exploded view feeds every check."""
+    cfg = config or SuiteConfig()
+    t_start = time.time()
+
+    docs = documents.withColumn(
+        "partition", F.from_unixtime(F.col("ts").cast("long"), "yyyy-MM-dd")
+    )
+    flat = explode_spans(docs.select("doc_id", "ts", "spans")).join(
+        docs.select("doc_id", "partition").dropDuplicates(["doc_id"]),
+        "doc_id",
+    )
+    flat = flat.persist()
+
+    checks: list[DataFrame] = []
+
+    # 1. uniqueness of doc_id (salted two-phase aggregate)
+    dups = duplicate_keys_salted(docs.select("doc_id", "partition"), ["doc_id"])
+    checks.append(
+        _viol(
+            dups.withColumn("text", F.col("cnt").cast("string")),
+            "uniqueness",
+            "Duplicate doc_id",
+        )
+    )
+
+    # 2. referential integrity of media_ref (broadcast anti-join, per-ref)
+    dangling = dangling_refs(flat, "media_ref", media, "media_id", distinct=True)
+    dangling_rows = flat.join(F.broadcast(dangling), "media_ref", "left_semi")
+    checks.append(_viol(dangling_rows, "referential", "Dangling media_ref"))
+
+    # 3. schema checks
+    checks.append(_viol(unknown_kinds(flat, cfg.kind_vocab), "schema", "Unknown span kind"))
+    checks.append(
+        _viol(required_non_null(flat, ["kind", "offset"]), "schema", "Required field null")
+    )
+    checks.append(_viol(offsets_monotonic(docs), "schema", "Offset not increasing"))
+    checks.append(
+        _viol(media_kind_consistency(flat), "schema", "media_ref on non-media kind")
+    )
+
+    # 4. novelty: first occurrence of unseen (kind, text)
+    nv = check_new_values(
+        flat.filter(F.col("text").isNotNull()),
+        ["kind", "text"],
+        cfg.known_kind_text,
+        order_cols=["ts", "doc_id", "ord"],
+    )
+    checks.append(_viol(nv, "new_value", "New value(s) detected"))
+
+    # 5. entropy: texts scoring below prob_thresh vs bigram baseline
+    freq = cfg.entropy_freq
+    if freq is None:
+        freq, _ = learn_bigram_freq(flat, "text")
+    scored = score_entropy_pandas(spark, flat.filter(F.col("text").isNotNull()), "text", freq)
+    checks.append(
+        _viol(
+            check_entropy(scored, cfg.entropy_prob_thresh),
+            "entropy",
+            "Value entropy anomaly detected",
+        )
+    )
+
+    # 6. drift: text-length distribution vs baseline histogram, per kind
+    lens = flat.withColumn("text_len", F.length("text").cast("double"))
+    lo, hi = cfg.text_len_bounds
+    cur_hist = histogram(lens, "text_len", lo, hi, cfg.n_hist_buckets, ["kind"])
+    if cfg.baseline_hist is not None:
+        drift = psi_kl(cur_hist, cfg.baseline_hist, ["kind"], cfg.n_hist_buckets)
+        drift_fail = drift.filter(F.col("psi") > cfg.drift_psi_threshold)
+        checks.append(
+            _viol(
+                drift_fail.withColumn("text", F.round("psi", 6).cast("string")),
+                "drift",
+                "Distribution drift (PSI)",
+            )
+        )
+
+    violations = checks[0]
+    for c in checks[1:]:
+        violations = violations.unionByName(c)
+    violations = violations.persist()
+
+    n_docs = docs.count()
+    n_spans = flat.count()
+    part_counts = docs.groupBy("partition").agg(F.count(F.lit(1)).alias("n_docs"))
+    verdicts = (
+        part_counts.join(
+            violations.groupBy("partition", "suite").agg(
+                F.count(F.lit(1)).alias("n_violations")
+            ),
+            "partition",
+            "left",
+        )
+        .withColumn("n_violations", F.coalesce("n_violations", F.lit(0)))
+        .withColumn("pass", F.col("n_violations") == 0)
+    )
+    n_viol = violations.count()
+    wall = time.time() - t_start
+    metrics = {
+        "rows_scanned": n_docs,
+        "spans_scanned": n_spans,
+        "violations": n_viol,
+        "wall_time_s": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
+    }
+    flat.unpersist()
+    return SuiteResult(violations=violations, verdicts=verdicts, metrics=metrics)

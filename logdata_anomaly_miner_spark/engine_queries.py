@@ -1,0 +1,527 @@
+"""Driver-facing query suite: every entry pairs a Spark DataFrame program
+(built from this package's operators) with an ANSI-SQL oracle that DuckDB
+runs on the same parquet tables (see __spark_entry__.py and TESTDATA.md).
+
+Conventions for cross-engine determinism:
+- event time: integer microseconds (`unix_micros` ≙ DuckDB `epoch_us`),
+  seconds as that exact integer / 1e6 — bit-identical doubles.
+- every float output rounded (6 dp) on BOTH sides;
+- aggregate/computed columns aliased identically on both sides;
+- halves split at max(id)/2.0 — a deterministic learn/check split standing
+  in for the baseline-snapshot vs current-snapshot lifecycle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logdata_anomaly_miner_spark.constraints.column_stats import column_stats
+from logdata_anomaly_miner_spark.constraints.drift import histogram, psi_kl
+from logdata_anomaly_miner_spark.constraints.referential import dangling_refs
+from logdata_anomaly_miner_spark.constraints.uniqueness import duplicate_keys_salted
+from logdata_anomaly_miner_spark.functions.dedup import exact_dup_groups, normalize_text
+from logdata_anomaly_miner_spark.functions.similarity import cosine_topk
+from logdata_anomaly_miner_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    quality_features,
+    token_count,
+)
+from logdata_anomaly_miner_spark.operators.charset import check_charset, learn_charsets
+from logdata_anomaly_miner_spark.operators.entropy import (
+    learn_bigram_freq,
+    score_entropy_pandas,
+)
+from logdata_anomaly_miner_spark.operators.event_frequency import (
+    anchored_window_counts,
+    check_event_frequency,
+    check_sliding_frequency,
+)
+from logdata_anomaly_miner_spark.operators.missing import check_missing_values
+from logdata_anomaly_miner_spark.operators.new_value import check_new_values
+from logdata_anomaly_miner_spark.operators.sequence import check_new_sequences
+from logdata_anomaly_miner_spark.operators.value_range import (
+    check_value_range,
+    learn_ranges,
+)
+
+EPOCH_SQL = "epoch_us(ts)/1000000.0"  # DuckDB; Spark mirror below
+
+
+def _epoch(col: str = "ts") -> F.Column:
+    return F.unix_micros(F.col(col).cast("timestamp")) / F.lit(1_000_000.0)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with epoch seconds (es, double) and micros (us, long)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp"))).withColumn(
+        "es", F.col("us") / F.lit(1_000_000.0)
+    )
+
+
+def _halved(ev: DataFrame) -> DataFrame:
+    thr = ev.agg((F.max("event_id") / 2.0).alias("thr"))
+    return ev.crossJoin(F.broadcast(thr))
+
+
+# --------------------------------------------------------------------------
+# detector queries (AMiner parity shapes on the driver's events table)
+# --------------------------------------------------------------------------
+
+def q_new_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _halved(_events(spark, sf_dir))
+    base = ev.filter("event_id < thr").select("user_id").dropDuplicates()
+    cur = ev.filter("event_id >= thr")
+    return check_new_values(cur, ["user_id"], base, order_cols=["us", "event_id"]).select(
+        "user_id"
+    )
+
+
+def q_new_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _halved(_events(spark, sf_dir))
+    base = ev.filter("event_id < thr").select("user_id", "event_type").dropDuplicates()
+    cur = ev.filter("event_id >= thr")
+    return check_new_values(
+        cur, ["user_id", "event_type"], base, order_cols=["us", "event_id"]
+    ).select("user_id", "event_type")
+
+
+def q_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _halved(_events(spark, sf_dir))
+    ranges = learn_ranges(ev.filter("event_id < thr"), ["event_type"], "value")
+    cur = ev.filter("event_id >= thr")
+    return check_value_range(cur, ["event_type"], "value", ranges).select(
+        "event_id", "event_type", "value"
+    )
+
+
+def q_freq_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    counts = anchored_window_counts(ev, ["event_type"], 600.0, ts_col="es")
+    return counts.select("event_type", "w", F.col("cnt").cast("long").alias("cnt"))
+
+
+def q_freq_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    v = check_event_frequency(
+        ev, ["event_type"], window_size=600.0, num_windows=10,
+        confidence_factor=0.51, ts_col="es",
+    )
+    return v.select(
+        "event_type",
+        "w",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("lower", 6).alias("lower"),
+        F.round("upper", 6).alias("upper"),
+    )
+
+
+def q_sliding_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    v = check_sliding_frequency(
+        ev, ["user_id"], window_size=3600.0, max_occurrences=2, micros_col="us"
+    )
+    return v.select("user_id", F.col("us").alias("ts_us"), F.col("sliding_cnt").cast("long").alias("sliding_cnt"))
+
+
+def q_seq_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _halved(_events(spark, sf_dir))
+    base = check_new_sequences(
+        ev.filter("event_id < thr"), "event_type", None, n=3,
+        id_cols=["user_id"], order_cols=["us", "event_id"],
+    )
+    # baseline grams computed over first half only; current half grams use
+    # full-stream context is NOT what the split means here: both halves are
+    # independent batches (previous run vs this run).
+    return check_new_sequences(
+        ev.filter("event_id >= thr"), "event_type", base, n=3,
+        id_cols=["user_id"], order_cols=["us", "event_id"],
+    ).select("user_id", "g1", "g2", "g3")
+
+
+def q_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    v = check_missing_values(ev, ["user_id"], interval_s=2 * 86400, ts_micros_col="us")
+    return v.select("user_id", F.round(F.col("last_seen_us") / 1_000_000.0, 6).alias("last_seen"))
+
+
+def q_charset_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    thr = docs.agg((F.max("doc_id") / 2.0).alias("thr"))
+    d = docs.crossJoin(F.broadcast(thr))
+    base = learn_charsets(d.filter("doc_id < thr"), "text", ["lang"])
+    return check_charset(d.filter("doc_id >= thr"), "text", base, ["lang"]).select("lang", "ch")
+
+
+def q_entropy_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    freq, _ = learn_bigram_freq(docs, "text")
+    return freq.select(
+        F.col("first").cast("int").alias("first"),
+        F.col("second").cast("int").alias("second"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def q_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    freq, _ = learn_bigram_freq(docs, "text")
+    scored = score_entropy_pandas(spark, docs, "text", freq)
+    return scored.select("doc_id", F.round("critical_val", 6).alias("cv"))
+
+
+# --------------------------------------------------------------------------
+# north-rule constraint suites
+# --------------------------------------------------------------------------
+
+def q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return duplicate_keys_salted(li, ["l_orderkey"]).select("l_orderkey", "cnt")
+
+
+def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    cust = _read(spark, sf_dir, "customer")
+    return dangling_refs(ev, "user_id", cust, "c_custkey").select("user_id")
+
+
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    stats = column_stats(ev, ["value", "user_id"], exact_distinct=True)
+    med = ev.agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("_m_value"),
+        F.round(F.percentile("user_id", F.lit(0.5)), 6).alias("_m_user_id"),
+    )
+    out = stats.crossJoin(F.broadcast(med)).withColumn(
+        "median",
+        F.when(F.col("column") == "value", F.col("_m_value")).otherwise(F.col("_m_user_id")),
+    )
+    return out.select(
+        "column", "n_rows", "null_rate", "n_distinct",
+        F.round("min", 6).alias("min"), F.round("max", 6).alias("max"), "median",
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    h = histogram(ev, "value", float(mm["lo"]), float(mm["hi"]), 10)
+    return h.select("bucket", F.col("cnt").cast("long").alias("cnt"))
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _halved(_read(spark, sf_dir, "events"))
+    mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    base = histogram(ev.filter("event_id < thr"), "value", lo, hi, 10, ["event_type"])
+    cur = histogram(ev.filter("event_id >= thr"), "value", lo, hi, 10, ["event_type"])
+    out = psi_kl(cur, base, ["event_type"])
+    return out.select("event_type", F.round("psi", 6).alias("psi"), F.round("kl", 6).alias("kl"))
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: dedup / text / similarity
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "doc_id", "text").select("text_hash", "cnt")
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe"),
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    q = quality_features(docs, "text")
+    return q.select(
+        "doc_id",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("space_ratio", 6).alias("space_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    out = cosine_topk(emb, "embedding", [float(x) for x in qvec], k=10, id_col="vec_id")
+    return out.select(
+        "vec_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "new_values": q_new_values,
+    "new_combos": q_new_combos,
+    "value_range": q_value_range,
+    "freq_counts": q_freq_counts,
+    "freq_bands": q_freq_bands,
+    "sliding_freq": q_sliding_freq,
+    "seq_ngrams": q_seq_ngrams,
+    "missing_values": q_missing_values,
+    "charset_new": q_charset_new,
+    "entropy_learn": q_entropy_learn,
+    "entropy_score": q_entropy_score,
+    "uniqueness": q_uniqueness,
+    "referential": q_referential,
+    "column_stats": q_column_stats,
+    "histogram": q_histogram,
+    "drift_psi": q_drift_psi,
+    "dedup_exact": q_dedup_exact,
+    "token_counts": q_token_counts,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "ann_topk": q_ann_topk,
+}
+
+
+ORACLES: dict[str, str] = {
+    "new_values": """
+WITH thr AS (SELECT max(event_id)/2.0 AS t FROM events),
+base AS (SELECT DISTINCT user_id FROM events, thr WHERE event_id < t)
+SELECT DISTINCT user_id FROM events, thr
+WHERE event_id >= t AND user_id NOT IN (SELECT user_id FROM base)
+""",
+    "new_combos": """
+WITH thr AS (SELECT max(event_id)/2.0 AS t FROM events),
+base AS (SELECT DISTINCT user_id, event_type FROM events, thr WHERE event_id < t)
+SELECT DISTINCT e.user_id, e.event_type FROM events e, thr
+WHERE e.event_id >= t AND NOT EXISTS (
+  SELECT 1 FROM base b WHERE b.user_id = e.user_id AND b.event_type = e.event_type)
+""",
+    "value_range": """
+WITH thr AS (SELECT max(event_id)/2.0 AS t FROM events),
+r AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+      FROM events, thr WHERE event_id < t GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value
+FROM events e CROSS JOIN thr JOIN r ON e.event_type = r.event_type
+WHERE e.event_id >= thr.t AND (e.value < r.mn OR e.value > r.mx)
+""",
+    "freq_counts": """
+WITH t0 AS (SELECT min(epoch_us(ts)/1000000.0) AS t0 FROM events),
+c AS (SELECT event_type, CAST(floor((epoch_us(ts)/1000000.0 - t0)/600.0) AS BIGINT) AS w,
+             count(*) AS cnt
+      FROM events CROSS JOIN t0 GROUP BY 1, 2),
+k AS (SELECT event_type, min(w) AS w0 FROM c GROUP BY 1),
+g AS (SELECT max(w) AS wm FROM c),
+spine AS (SELECT k.event_type, gs.w FROM k CROSS JOIN g
+          CROSS JOIN (SELECT unnest(generate_series(0, (SELECT wm FROM g))) AS w) gs
+          WHERE gs.w >= k.w0)
+SELECT s.event_type, s.w, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.w = s.w
+""",
+    "freq_bands": """
+WITH t0 AS (SELECT min(epoch_us(ts)/1000000.0) AS t0 FROM events),
+c AS (SELECT event_type, CAST(floor((epoch_us(ts)/1000000.0 - t0)/600.0) AS BIGINT) AS w,
+             count(*) AS cnt
+      FROM events CROSS JOIN t0 GROUP BY 1, 2),
+k AS (SELECT event_type, min(w) AS w0 FROM c GROUP BY 1),
+g AS (SELECT max(w) AS wm FROM c),
+spine AS (SELECT k.event_type, gs.w, (SELECT wm FROM g) AS wm FROM k
+          CROSS JOIN (SELECT unnest(generate_series(0, (SELECT wm FROM g))) AS w) gs
+          WHERE gs.w >= k.w0),
+sp AS (SELECT s.event_type, s.w, s.wm, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+       FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.w = s.w),
+b AS (SELECT event_type, w, wm, cnt,
+             avg(cnt) OVER win AS mean,
+             stddev_pop(cnt) OVER win AS std,
+             count(cnt) OVER win AS n_hist
+      FROM sp
+      WINDOW win AS (PARTITION BY event_type ORDER BY w
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+f AS (SELECT *, CASE WHEN n_hist <= 1 THEN mean * (1 - 0.51) ELSE std END AS s FROM b)
+SELECT event_type, w, cnt,
+       round(mean - s/0.51, 6) AS lower, round(mean + s/0.51, 6) AS upper
+FROM f
+WHERE w < wm AND n_hist >= 1 AND (cnt < mean - s/0.51 OR cnt > mean + s/0.51)
+""",
+    "sliding_freq": """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS sliding_cnt
+  FROM events)
+SELECT user_id, ts_us, CAST(sliding_cnt AS BIGINT) AS sliding_cnt
+FROM s WHERE sliding_cnt > 2
+""",
+    "seq_ngrams": """
+WITH thr AS (SELECT max(event_id)/2.0 AS t FROM events),
+g1 AS (SELECT user_id, event_id,
+              lag(event_type, 2) OVER w AS g1, lag(event_type, 1) OVER w AS g2,
+              event_type AS g3
+       FROM events, thr WHERE event_id < t
+       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+g2 AS (SELECT user_id, event_id,
+              lag(event_type, 2) OVER w AS g1, lag(event_type, 1) OVER w AS g2,
+              event_type AS g3
+       FROM events, thr WHERE event_id >= t
+       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+base AS (SELECT DISTINCT user_id, g1, g2, g3 FROM g1 WHERE g1 IS NOT NULL)
+SELECT DISTINCT c.user_id, c.g1, c.g2, c.g3 FROM g2 c
+WHERE c.g1 IS NOT NULL AND NOT EXISTS (
+  SELECT 1 FROM base b
+  WHERE b.user_id = c.user_id AND b.g1 = c.g1 AND b.g2 = c.g2 AND b.g3 = c.g3)
+""",
+    "missing_values": """
+WITH m AS (SELECT max(epoch_us(ts)) AS mt FROM events)
+SELECT user_id, round(max(epoch_us(ts))/1000000.0, 6) AS last_seen
+FROM events CROSS JOIN m
+GROUP BY user_id, mt
+HAVING max(epoch_us(ts)) < mt - 172800000000
+""",
+    "charset_new": """
+WITH thr AS (SELECT max(doc_id)/2.0 AS t FROM documents),
+c AS (SELECT doc_id, lang, unnest(regexp_extract_all(text, '.')) AS ch FROM documents),
+base AS (SELECT DISTINCT lang, ch FROM c, thr WHERE doc_id < t)
+SELECT DISTINCT c.lang, c.ch FROM c, thr
+WHERE c.doc_id >= t AND NOT EXISTS (
+  SELECT 1 FROM base b WHERE b.lang = c.lang AND b.ch = c.ch)
+""",
+    "entropy_learn": """
+WITH pairs AS (
+  SELECT CASE WHEN t.i = 0 THEN 256 ELSE ord(substr(d.text, t.i, 1)) END AS first,
+         CASE WHEN t.i = length(d.text) THEN 256 ELSE ord(substr(d.text, t.i + 1, 1)) END AS second
+  FROM documents d, (SELECT unnest(generate_series(0, (SELECT max(length(text)) FROM documents))) AS i) t
+  WHERE t.i <= length(d.text))
+SELECT CAST(first AS INT) AS first, CAST(second AS INT) AS second,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1, 2
+""",
+    "entropy_score": """
+WITH pairs AS (
+  SELECT d.doc_id,
+         CASE WHEN t.i = 0 THEN 256 ELSE ord(substr(d.text, t.i, 1)) END AS first,
+         CASE WHEN t.i = length(d.text) THEN 256 ELSE ord(substr(d.text, t.i + 1, 1)) END AS second
+  FROM documents d, (SELECT unnest(generate_series(0, (SELECT max(length(text)) FROM documents))) AS i) t
+  WHERE t.i <= length(d.text)),
+freq AS (SELECT first, second, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+tot AS (SELECT first, sum(cnt) AS total FROM freq GROUP BY 1)
+SELECT p.doc_id, round(avg(coalesce(f.cnt * 1.0 / t.total, 0.0)), 6) AS cv
+FROM pairs p
+LEFT JOIN freq f ON p.first = f.first AND p.second = f.second
+LEFT JOIN tot t ON p.first = t.first
+GROUP BY p.doc_id
+""",
+    "uniqueness": """
+SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+""",
+    "referential": """
+SELECT DISTINCT user_id FROM events e
+WHERE user_id IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+""",
+    "column_stats": """
+SELECT 'value' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       round(avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 9) AS null_rate,
+       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+       round(min(value), 6) AS min, round(max(value), 6) AS max,
+       round(quantile_cont(value, 0.5), 6) AS median
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       round(avg(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END), 9),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       round(CAST(min(user_id) AS DOUBLE), 6), round(CAST(max(user_id) AS DOUBLE), 6),
+       round(quantile_cont(CAST(user_id AS DOUBLE), 0.5), 6)
+FROM events
+""",
+    "histogram": """
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT CAST(least(greatest(floor((value - lo) / ((hi - lo) / 10.0)), 0), 9) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events CROSS JOIN mm WHERE value IS NOT NULL
+GROUP BY 1
+""",
+    "drift_psi": """
+WITH thr AS (SELECT max(event_id)/2.0 AS t FROM events),
+mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (SELECT event_type, CASE WHEN event_id < t THEN 0 ELSE 1 END AS half,
+             CAST(least(greatest(floor((value - lo) / ((hi - lo) / 10.0)), 0), 9) AS BIGINT) AS bucket
+      FROM events CROSS JOIN thr CROSS JOIN mm WHERE value IS NOT NULL),
+h AS (SELECT event_type, half, bucket, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+j AS (SELECT coalesce(c.event_type, bs.event_type) AS event_type,
+             coalesce(c.bucket, bs.bucket) AS bucket,
+             coalesce(c.cnt, 0) AS c_cnt, coalesce(bs.cnt, 0) AS b_cnt
+      FROM (SELECT * FROM h WHERE half = 1) c
+      FULL OUTER JOIN (SELECT * FROM h WHERE half = 0) bs
+        ON c.event_type = bs.event_type AND c.bucket = bs.bucket),
+tot AS (SELECT event_type, sum(c_cnt) AS ct, sum(b_cnt) AS bt FROM j GROUP BY 1)
+SELECT j.event_type,
+       round(sum(((c_cnt * 1.0 / ct + 0.000001) - (b_cnt * 1.0 / bt + 0.000001))
+                 * ln((c_cnt * 1.0 / ct + 0.000001) / (b_cnt * 1.0 / bt + 0.000001))), 6) AS psi,
+       round(sum((c_cnt * 1.0 / ct + 0.000001)
+                 * ln((c_cnt * 1.0 / ct + 0.000001) / (b_cnt * 1.0 / bt + 0.000001))), 6) AS kl
+FROM j JOIN tot ON j.event_type = tot.event_type
+GROUP BY j.event_type
+""",
+    "dedup_exact": """
+WITH n AS (SELECT doc_id,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                          '\\s+', ' ', 'g'))) AS text_hash
+  FROM documents)
+SELECT text_hash, CAST(count(*) AS BIGINT) AS cnt
+FROM n GROUP BY 1 HAVING count(*) > 1
+""",
+    "token_counts": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe
+FROM documents
+""",
+    "quality": """
+SELECT doc_id,
+  round(CASE WHEN length(text) > 0
+    THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+    ELSE 0.0 END, 6) AS alpha_ratio,
+  round(CASE WHEN length(text) > 0
+    THEN length(regexp_replace(text, '[^ \\t\\n]', '', 'g')) * 1.0 / length(text)
+    ELSE 0.0 END, 6) AS space_ratio,
+  round(CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+    THEN len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+         x -> x IN ('the','and','of','to','in','is','that','with'))) * 1.0
+         / len(regexp_extract_all(lower(text), '[a-z]+'))
+    ELSE 0.0 END, 6) AS stopword_ratio
+FROM documents
+""",
+    "fingerprint": """
+SELECT d.doc_id,
+       CAST(sum(ord(substr(d.text, t.i, 1)) * t.i) % 1000000007 AS BIGINT) AS fp
+FROM documents d,
+     (SELECT unnest(generate_series(1, (SELECT max(length(text)) FROM documents))) AS i) t
+WHERE t.i <= length(d.text)
+GROUP BY d.doc_id
+""",
+    "ann_topk": """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id,
+             round(list_dot_product(le, qe)
+                   / sqrt(list_dot_product(le, le) * list_dot_product(qe, qe)), 9) AS cosine
+      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS le
+            FROM embeddings) e CROSS JOIN q),
+r AS (SELECT vec_id, cosine, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM s)
+SELECT vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""",
+}

@@ -1,0 +1,208 @@
+"""Deduplication operators for training-data pipelines (north-star addition).
+
+All variants are set-oriented and shuffle-bounded:
+
+- exact:      md5(normalized text) hash-groupBy — one shuffle of |docs| keys.
+- minhash+LSH: shingle → per-seed min of a portable hash → band → bucket
+              join. Candidate pairs only form inside buckets, so the join is
+              |bucket|² per bucket instead of |docs|² — the standard LSH
+              scale path. The hash is md5-based (hex-string min), portable
+              to any engine for oracle checks.
+- simhash:    64-bit sign-sum of token-hash bits via explode + groupBy —
+              no per-row Python; near-dups share simhash within k bits.
+- n-gram Jaccard: exact verification on LSH candidates (or small inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase, collapse whitespace, strip non-alphanumerics — the usual
+    dedup normalization."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalize: bool = True
+) -> DataFrame:
+    """(text_hash, cnt, doc_ids) for texts occurring more than once."""
+    t = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        df.withColumn("text_hash", F.md5(t))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct) from normalized text.
+
+    Built by zipping k shifted slices of the token array (each input array
+    evaluated once per row) — not element_at-in-a-lambda, which re-evaluates
+    the array per element."""
+    toks = F.split(normalize_text(text), " ")
+    n = F.size(toks)
+    m = n - (k - 1)  # number of k-grams
+    grams = F.slice(toks, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(toks, 1 + j, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.array_distinct(
+        F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, seed, minhash) — minhash per seed = min over shingles of
+    md5(seed || shingle) compared as hex strings (portable, deterministic).
+    Implemented as explode → groupBy(id, seed) min: two narrow shuffles,
+    no Python."""
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    seeded = ex.select(
+        "_id",
+        F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed"),
+        F.col("sh"),
+    )
+    return (
+        seeded.withColumn("h", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))))
+        .groupBy("_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signature (seed // rows_per_band), bucket on the band hash,
+    self-join within buckets → candidate pairs (id_a < id_b)."""
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("bucket"))
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs; keeps pairs with
+    similarity ≥ threshold. |∩| via explode+join, |∪| = |A|+|B|−|∩|."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    sizes = sh.select("_id", F.size("sh").alias("n"))
+    ex = sh.select("_id", F.explode("sh").alias("g"))
+    # intersection counts via join on gram
+    inter = (
+        candidates.join(ex.withColumnRenamed("_id", "id_a"), "id_a")
+        .join(
+            ex.select(F.col("_id").alias("id_b"), F.col("g")),
+            ["id_b", "g"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 9
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc: for each token, xxhash64(token) contributes
+    ±1 per bit position; simhash bit = sign of the sum. Explode + groupBy —
+    fully vectorized, one shuffle."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bits = toks.select(
+        "_id",
+        F.explode(F.array(*[F.lit(i) for i in range(64)])).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        "contrib",
+        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+    agg = bits.groupBy("_id", "bit").agg(F.sum("contrib").alias("s"))
+    return (
+        agg.withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(0),
+        )
+        .groupBy("_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash: block on 16-bit chunks (a pair within
+    hamming ≤3 shares at least one of 4 chunks — pigeonhole), verify
+    hamming distance inside blocks."""
+    chunks = sim.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("chunk"),
+    ).withColumn(
+        "key", F.shiftright(F.col("simhash"), F.col("chunk") * 16).bitwiseAND(F.lit(0xFFFF))
+    )
+    a = chunks.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "key")
+    b = chunks.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "key")
+    return (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates()
+    )

@@ -1,0 +1,226 @@
+"""Windowed event-frequency detector.
+
+Re-expresses EventFrequencyDetector (aminer/analysis/EventFrequencyDetector.py:
+28-556) and SlidingEventFrequencyDetector (…/SlidingEventFrequencyDetector.py:
+22-271).
+
+Key semantics reproduced (and unit-tested in tests/test_event_frequency.py):
+
+- **Anchored tumbling windows** (reference :181-194): windows start at the
+  first atom's time, NOT at calendar boundaries — window index
+  ``w = floor((ts - t0) / window_size)`` with ``t0 = min(ts)``. Spark's
+  calendar `window()` would silently shift every boundary, so we use the
+  arithmetic form.
+- **Band check at window close** (reference :210-260 via calculate_range
+  :361-399): a closed window's count is anomalous if outside
+  ``mean ± std/confidence_factor`` where mean/std are over the trailing
+  ``num_windows`` counts (np.std ⇒ **stddev_pop**, ddof=0); when only one
+  history window exists, ``std = mean * (1 - confidence_factor)``.
+  A key needs ≥1 prior window since first seen (len(counts)>=2) to be
+  checked; the final (incomplete) window is never checked.
+- **Zero-count windows count**: a key active earlier but silent in window w
+  contributes count 0 there (reset_counter appends 0) — realized via a
+  per-key window **spine** (`sequence()` + explode + left join), which also
+  yields the "No log events received in time window" warnings for globally
+  empty windows (reference :195-201; one warning per maximal gap, because
+  one closing atom reports all windows it skips).
+- ``unique_path_list`` ⇒ count **distinct** values per window (:320-328,
+  ``countDistinct``; at extreme scale swap for approx_count_distinct).
+
+Scale notes: counts are one shuffle (groupBy key,w); the spine is generated
+from per-key (min_w, max_w) aggregates — no driver loop; band computation is
+a bounded window frame per key ordered by w (history is capped at
+num_windows, matching the reference's bounded deque).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def anchored_window_counts(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    window_size: float,
+    ts_col: str = "ts",
+    unique_cols: Sequence[str] | None = None,
+    t0: float | None = None,
+) -> DataFrame:
+    """Counts per (key, w) on a dense per-key spine from the key's first
+    window to the global last window. Returns columns key_cols + (w, cnt)
+    plus ``last_w`` (global last window index, never checked)."""
+    ts = F.col(ts_col).cast("double")
+    if t0 is None:
+        t0_df = df.agg(F.min(ts).alias("t0"))
+        df = df.crossJoin(F.broadcast(t0_df))
+        t0_col = F.col("t0")
+    else:
+        t0_col = F.lit(float(t0))
+    with_w = df.withColumn("w", F.floor((ts - t0_col) / F.lit(float(window_size))))
+
+    if unique_cols:
+        counts = with_w.groupBy(*key_cols, "w").agg(
+            F.countDistinct(*[F.col(c) for c in unique_cols]).alias("cnt")
+        )
+    else:
+        counts = with_w.groupBy(*key_cols, "w").agg(F.count(F.lit(1)).alias("cnt"))
+
+    # Dense spine: every key gets every window from its first to the global max.
+    key_span = counts.groupBy(*key_cols).agg(F.min("w").alias("w_first"))
+    global_max = counts.agg(F.max("w").alias("w_last"))
+    spine = (
+        key_span.crossJoin(F.broadcast(global_max))
+        .select(
+            *key_cols,
+            F.explode(F.sequence(F.col("w_first"), F.col("w_last"))).alias("w"),
+            F.col("w_last"),
+        )
+    )
+    return (
+        spine.join(counts, [*key_cols, "w"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+
+
+def frequency_bands(
+    counts: DataFrame,
+    key_cols: Sequence[str],
+    num_windows: int,
+    confidence_factor: float,
+    set_lower_limit: float | None = None,
+    set_upper_limit: float | None = None,
+) -> DataFrame:
+    """Attach (lower, upper) band per (key, w) from trailing history
+    (reference calculate_range :361-399). Adds n_hist, mean, std columns."""
+    w_hist = (
+        Window.partitionBy(*key_cols)
+        .orderBy("w")
+        .rowsBetween(-num_windows, -1)
+    )
+    cf = float(confidence_factor)
+    out = (
+        counts.withColumn("mean", F.avg("cnt").over(w_hist))
+        .withColumn("std", F.stddev_pop("cnt").over(w_hist))
+        .withColumn("n_hist", F.count("cnt").over(w_hist))
+    )
+    # single-history-window fallback: std = mean * (1 - cf)  (reference :386-389)
+    out = out.withColumn(
+        "std",
+        F.when(F.col("n_hist") <= 1, F.col("mean") * F.lit(1.0 - cf)).otherwise(
+            F.col("std")
+        ),
+    )
+    lower = (
+        F.lit(float(set_lower_limit))
+        if set_lower_limit is not None
+        else F.col("mean") - F.col("std") / F.lit(cf)
+    )
+    upper = (
+        F.lit(float(set_upper_limit))
+        if set_upper_limit is not None
+        else F.col("mean") + F.col("std") / F.lit(cf)
+    )
+    return out.withColumn("lower", lower).withColumn("upper", upper)
+
+
+def check_event_frequency(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    window_size: float,
+    num_windows: int,
+    confidence_factor: float,
+    ts_col: str = "ts",
+    unique_cols: Sequence[str] | None = None,
+    set_lower_limit: float | None = None,
+    set_upper_limit: float | None = None,
+    t0: float | None = None,
+) -> DataFrame:
+    """Full detector: violations per (key, w) for closed windows.
+
+    A window is checked when (a) it is not the global last (only a later
+    atom closes it), and (b) the key has ≥1 prior window (n_hist ≥ 1).
+    """
+    counts = anchored_window_counts(
+        df, key_cols, window_size, ts_col, unique_cols, t0
+    )
+    banded = frequency_bands(
+        counts, key_cols, num_windows, confidence_factor, set_lower_limit, set_upper_limit
+    )
+    return (
+        banded.filter(F.col("w") < F.col("w_last"))
+        .filter(F.col("n_hist") >= 1)
+        .filter((F.col("cnt") < F.col("lower")) | (F.col("cnt") > F.col("upper")))
+        .withColumn(
+            "detail",
+            F.to_json(
+                F.struct(
+                    F.col("cnt").alias("count"),
+                    F.round(F.col("lower"), 9).alias("lower"),
+                    F.round(F.col("upper"), 9).alias("upper"),
+                )
+            ),
+        )
+    )
+
+
+def empty_window_gaps(
+    df: DataFrame, window_size: float, ts_col: str = "ts", t0: float | None = None
+) -> DataFrame:
+    """Globally-empty closed windows, grouped into maximal gaps — one warning
+    row per gap (reference emits one event per closing atom that skipped
+    windows, :195-201). Returns (gap_start_w, gap_end_w, n_windows)."""
+    ts = F.col(ts_col).cast("double")
+    if t0 is None:
+        t0_df = df.agg(F.min(ts).alias("t0"))
+        df = df.crossJoin(F.broadcast(t0_df))
+        t0_col = F.col("t0")
+    else:
+        t0_col = F.lit(float(t0))
+    wins = (
+        df.withColumn("w", F.floor((ts - t0_col) / F.lit(float(window_size))))
+        .select("w")
+        .dropDuplicates()
+    )
+    # consecutive occupied windows with a hole between them => a gap
+    lead_w = F.lead("w").over(Window.orderBy("w"))
+    return (
+        wins.withColumn("next_w", lead_w)
+        .filter(F.col("next_w") > F.col("w") + 1)
+        .select(
+            (F.col("w") + 1).alias("gap_start_w"),
+            (F.col("next_w") - 1).alias("gap_end_w"),
+            (F.col("next_w") - F.col("w") - 1).alias("n_windows"),
+        )
+    )
+
+
+def check_sliding_frequency(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    window_size: float,
+    max_occurrences: int,
+    ts_col: str = "ts",
+    micros_col: str | None = None,
+) -> DataFrame:
+    """SlidingEventFrequencyDetector (:22-271): count of events per key in
+    the trailing ``window_size`` seconds exceeds ``max_occurrences``.
+    RANGE frame over event time ≙ the reference's timestamp deque.
+    rangeBetween needs integer bounds -> order by integer microseconds
+    (pass ``micros_col`` for exact source precision, else seconds*1e6)."""
+    ord_col = (
+        F.col(micros_col)
+        if micros_col
+        else (F.col(ts_col).cast("double") * 1_000_000).cast("long")
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ord_col)
+        .rangeBetween(-int(window_size * 1_000_000), 0)
+    )
+    return (
+        df.withColumn("sliding_cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("sliding_cnt") > max_occurrences)
+    )

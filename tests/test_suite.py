@@ -1,0 +1,80 @@
+"""End-to-end validation-suite test on synthesized documents (datagen)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from logdata_anomaly_miner_spark.constraints.suite import SuiteConfig, run_suite
+from logdata_anomaly_miner_spark.datagen import explode_spans, gen_documents, gen_media
+from logdata_anomaly_miner_spark.plans.checkpoint import CheckpointManifest
+
+
+def test_datagen_shape(spark):
+    docs = gen_documents(spark, n_docs=500, dup_rate=0.02, dangling_rate=0.05)
+    assert docs.columns == ["doc_id", "ts", "spans"]
+    flat = explode_spans(docs)
+    assert flat.columns == ["doc_id", "ts", "ord", "kind", "text", "media_ref", "offset"]
+    # deterministic: same seed -> same data
+    again = gen_documents(spark, n_docs=500, dup_rate=0.02, dangling_rate=0.05)
+    assert docs.exceptAll(again).count() == 0 and again.exceptAll(docs).count() == 0
+    # offsets strictly increasing within each doc (generator invariant)
+    from logdata_anomaly_miner_spark.constraints.schema_checks import offsets_monotonic
+    assert offsets_monotonic(docs).count() == 0
+    # planted non-monotonic offsets are caught
+    broken = spark.createDataFrame(
+        [("d1", 1.0, [("text", "a", None, 5), ("text", "b", None, 3)])],
+        "doc_id string, ts double, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    assert offsets_monotonic(broken).count() == 1
+
+
+def test_suite_finds_planted_violations(spark):
+    docs = gen_documents(spark, n_docs=1000, dup_rate=0.02, dangling_rate=0.1)
+    media = gen_media(spark, 1000)
+    res = run_suite(spark, docs, media, SuiteConfig(entropy_prob_thresh=0.0))
+    by_suite = {
+        r["suite"]: r["n"]
+        for r in res.violations.groupBy("suite").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_suite.get("uniqueness", 0) > 0      # planted dup doc_ids
+    assert by_suite.get("referential", 0) > 0     # planted dangling media_refs
+    assert by_suite.get("new_value", 0) > 0       # learn-from-scratch: all new
+    assert "schema" not in by_suite               # generator respects schema
+    verd = res.verdicts.collect()
+    assert len(verd) > 0
+    assert res.metrics["rows_scanned"] == 1000
+    assert res.metrics["violations"] > 0
+
+
+def test_suite_with_baselines_quiet(spark):
+    """Second run with baselines learned from the same data: novelty silent."""
+    docs = gen_documents(spark, n_docs=500, dup_rate=0.0, dangling_rate=0.0)
+    media = gen_media(spark, 1000)
+    flat = explode_spans(docs)
+    known = flat.select("kind", "text").dropDuplicates()
+    res = run_suite(
+        spark, docs, media,
+        SuiteConfig(known_kind_text=known, entropy_prob_thresh=0.0),
+    )
+    by_suite = {
+        r["suite"]: r["n"]
+        for r in res.violations.groupBy("suite").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_suite == {}  # no dups, no dangling, known values, entropy off
+    assert res.verdicts.filter("pass = false").count() == 0
+
+
+def test_checkpoint_manifest(spark):
+    with tempfile.TemporaryDirectory() as d:
+        m = CheckpointManifest(spark, f"{d}/manifest")
+        assert m.committed_partitions(1) == set()
+        m.commit(1, "2023-11-14", rows_scanned=100, violations=2, wall_time_s=1.5)
+        m.commit(1, "2023-11-15", rows_scanned=50, violations=0, wall_time_s=0.7)
+        m.commit(2, "2023-11-14", rows_scanned=10, violations=0, wall_time_s=0.1)
+        assert m.committed_partitions(1) == {"2023-11-14", "2023-11-15"}
+        assert m.committed_partitions(2) == {"2023-11-14"}
+        df = m.read()
+        assert df.count() == 3
+        assert df.filter("snapshot_id = 1").agg(F.sum("rows_scanned")).collect()[0][0] == 150
