@@ -79,20 +79,38 @@ def run_suite(
     documents: DataFrame,
     media: DataFrame,
     config: SuiteConfig | None = None,
+    persist: bool = True,
 ) -> SuiteResult:
     """Run all constraint suites; returns violations, per-partition verdicts,
-    and job metrics. One cache of the exploded view feeds every check."""
+    and job metrics.
+
+    ``persist=True`` caches the exploded view (right when `documents` is an
+    expensive upstream computation). For parquet/Iceberg-backed input pass
+    ``persist=False``: re-scanning with column pruning is cheaper than the
+    cache build — caching is memory-bandwidth-bound and doesn't scale with
+    cores, while pruned columnar scans do."""
     cfg = config or SuiteConfig()
     t_start = time.time()
 
     docs = documents.withColumn(
         "partition", F.from_unixtime(F.col("ts").cast("long"), "yyyy-MM-dd")
     )
-    flat = explode_spans(docs.select("doc_id", "ts", "spans")).join(
-        docs.select("doc_id", "partition").dropDuplicates(["doc_id"]),
+    if persist:
+        docs = docs.persist()
+    # partition rides along through posexplode — no join needed (a join here
+    # would shuffle |spans| rows and break under duplicate doc_ids anyway)
+    flat = docs.select("doc_id", "ts", "partition", F.posexplode("spans").alias("ord", "span")).select(
         "doc_id",
+        "ts",
+        "partition",
+        "ord",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
     )
-    flat = flat.persist()
+    if persist:
+        flat = flat.persist()
 
     checks: list[DataFrame] = []
 
@@ -186,5 +204,7 @@ def run_suite(
         "wall_time_s": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
     }
-    flat.unpersist()
+    if persist:
+        flat.unpersist()
+        docs.unpersist()
     return SuiteResult(violations=violations, verdicts=verdicts, metrics=metrics)

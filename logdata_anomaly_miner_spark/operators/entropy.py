@@ -140,16 +140,40 @@ def score_entropy_pandas(
 
     @F.pandas_udf(DoubleType())
     def _score(vals: pd.Series) -> pd.Series:
+        # Fully vectorized over the Arrow batch: concatenate every value's
+        # byte codes once, build global (first, second) pair arrays with the
+        # virtual boundary char per value, then one fancy-indexed gather +
+        # segment mean via bincount. No per-value Python loop.
         mat = bc.value
-        out = np.empty(len(vals), dtype=np.float64)
-        for k, v in enumerate(vals):
-            if v is None:
-                out[k] = np.nan
-                continue
-            codes = np.frombuffer(v.encode("utf-8", "replace"), dtype=np.uint8)
-            codes = np.minimum(codes, 255).astype(np.int64)
-            padded = np.concatenate(([VIRTUAL], codes, [VIRTUAL]))
-            out[k] = mat[padded[:-1], padded[1:]].mean()
+        isnull = vals.isna().to_numpy()
+        filled = vals.fillna("")
+        joined = "".join(filled.tolist())
+        codes = np.frombuffer(joined.encode("utf-8", "replace"), dtype=np.uint8)
+        lens = filled.str.encode("utf-8", "replace").str.len().to_numpy(dtype=np.int64)
+        n = len(lens)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        # per-value segment: len+1 pairs (virtual start + virtual end)
+        npairs = lens + 1
+        total = int(npairs.sum())
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        pair_seg = np.repeat(np.arange(n), npairs)
+        # position of each pair within its value: 0..len
+        pair_end = np.cumsum(npairs)
+        pair_start = pair_end - npairs
+        pos = np.arange(total) - np.repeat(pair_start, npairs)
+        src = np.repeat(starts, npairs) + pos  # index of the pair's 2nd char
+        firsts = np.full(total, VIRTUAL, dtype=np.int64)
+        seconds = np.full(total, VIRTUAL, dtype=np.int64)
+        inner_second = pos < np.repeat(lens, npairs)      # pair i<len: 2nd = c_i
+        seconds[inner_second] = codes[src[inner_second]]
+        inner_first = pos > 0                              # pair i>0: 1st = c_{i-1}
+        firsts[inner_first] = codes[src[inner_first] - 1]
+        probs = mat[np.minimum(firsts, VIRTUAL), np.minimum(seconds, VIRTUAL)]
+        sums = np.bincount(pair_seg, weights=probs, minlength=n)
+        out = sums / npairs
+        out[isnull] = np.nan
         return pd.Series(out)
 
     return df.withColumn("critical_val", _score(F.col(value_col)))

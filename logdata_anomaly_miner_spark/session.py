@@ -46,8 +46,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GC_OPTS", "-XX:+UseG1GC"),
+        )
     )
+    # shuffle/spill to tmpfs when available: local-mode shuffles are
+    # disk-bound on overlay filesystems; on a real cluster this is
+    # irrelevant (executors use their own local dirs)
+    if os.path.isdir("/dev/shm"):
+        builder = builder.config(
+            "spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
