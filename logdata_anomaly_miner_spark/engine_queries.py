@@ -270,7 +270,205 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# batch 2: histograms, timestamps, rules, intervals, clustering, dedup, lang
+# --------------------------------------------------------------------------
+
+def q_monotonic_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.operators.timestamps import monotonic_adjust
+
+    ev = _events(spark, sf_dir)
+    out = monotonic_adjust(ev, ts_col="us", order_cols=["event_id"], out_col="us_adj")
+    return out.select("event_id", F.round(F.col("us_adj") / 1_000_000.0, 6).alias("ts_adj"))
+
+
+def q_timestamps_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.operators.timestamps import unsorted_timestamps
+
+    ev = _events(spark, sf_dir)
+    return unsorted_timestamps(ev, ts_col="us", order_cols=["event_id"]).select("event_id")
+
+
+def q_parser_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.operators.histogram import parser_counts
+
+    ev = _read(spark, sf_dir, "events")
+    return parser_counts(ev, "event_type").select(
+        "event_type", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def q_hour_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.operators.histogram import modulo_time_histogram
+
+    ev = _events(spark, sf_dir)
+    h = modulo_time_histogram(ev, ts_col="es", group_cols=["event_type"])
+    return h.select("event_type", "bin", F.col("cnt").cast("long").alias("cnt"))
+
+
+def q_avg_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.operators.histogram import average_change
+
+    ev = _events(spark, sf_dir)
+    out = average_change(
+        ev, "value", "es", bin_size=21600.0, group_cols=["event_type"],
+        change_threshold=2.0, num_history_bins=10,
+    )
+    return out.select(
+        "event_type", "bin", F.round("mean", 6).alias("mean"), F.col("changed")
+    )
+
+
+def q_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.operators import rules
+
+    ev = _read(spark, sf_dir, "events")
+    rule = rules.and_(
+        rules.value_in("event_type", ["error", "click"]),
+        rules.value_range("value", 10.0, 50.0),
+    )
+    return rules.match_filter(ev, rule).select("event_id")
+
+
+def q_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.operators import rules
+
+    ev = _read(spark, sf_dir, "events")
+    allow = [
+        rules.value_match("event_type", "click"),
+        rules.value_match("event_type", "view"),
+        rules.and_(
+            rules.value_match("event_type", "purchase"), rules.value_range("value", 0, 1000)
+        ),
+    ]
+    return rules.allowlist_violations(ev, allow).select("event_id", "event_type")
+
+
+def q_time_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.operators.time_interval import (
+        check_time_intervals,
+        learn_time_intervals,
+    )
+
+    ev = _halved(_events(spark, sf_dir))
+    base = learn_time_intervals(ev.filter("event_id < thr"), ["event_type"], ts_col="es")
+    v = check_time_intervals(ev.filter("event_id >= thr"), base, ["event_type"], ts_col="es")
+    return v.select("event_type", "tod_bucket")
+
+
+def q_count_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.operators.event_count_cluster import (
+        count_vectors,
+        manhattan_vs_baseline,
+    )
+
+    ev = _events(spark, sf_dir)
+    cv = count_vectors(ev, ["user_id"], "event_type", ts_col="es", window_size=86400.0)
+    baseline = cv.filter("w = 0").select("user_id", "event_type", "cnt")
+    d = manhattan_vs_baseline(cv.filter("w > 0"), baseline, ["user_id"])
+    return d.select("user_id", "w", F.round("dist", 6).alias("dist"))
+
+
+def q_min_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.operators.sequence import (
+        check_minimal_transition_time,
+        transition_times,
+    )
+
+    ev = _halved(_events(spark, sf_dir))
+    learned = (
+        transition_times(ev.filter("event_id < thr"), "event_type", ["user_id"], "es")
+        .groupBy("from_value", "to_value")
+        .agg(F.min("dt").alias("min_dt"))
+    )
+    viols, _ = check_minimal_transition_time(
+        ev.filter("event_id >= thr"), "event_type", learned, ["user_id"], "es"
+    )
+    return viols.select(
+        "user_id", "from_value", "to_value", F.round("dt", 6).alias("dt")
+    )
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.functions.dedup import minhash_signatures
+
+    docs = _read(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", n_hashes=16, shingle_k=3)
+    return sig.select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
+
+
+def q_simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.functions.dedup import portable_simhash_bits
+
+    docs = _read(spark, sf_dir, "documents")
+    return portable_simhash_bits(docs, "doc_id", "text")
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.functions.dedup import all_pairs, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, all_pairs(docs), "doc_id", "text", 3, 0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_near_dup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.functions.similarity import _dot, _norm2
+
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sim = _dot(F.col("va"), F.col("vb")) / F.sqrt(_norm2(F.col("va")) * _norm2(F.col("vb")))
+    return (
+        pairs.withColumn("cosine", F.round(sim, 9))
+        .filter(F.col("cosine") >= 0.45)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def q_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.functions.text import lang_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    out = lang_scores(docs, "text")
+    return out.select(
+        "doc_id",
+        F.round("score_de", 6).alias("score_de"),
+        F.round("score_en", 6).alias("score_en"),
+        F.round("score_fr", 6).alias("score_fr"),
+        "lang_pred",
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path) — rows-only check: recall vs the exact
+    oracle is < 1 by construction, so no SQL oracle is registered."""
+    from logdata_anomaly_miner_spark.functions.similarity import lsh_bucket_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    out = lsh_bucket_topk(emb, "embedding", [float(x) for x in qvec], k=10, n_planes=8)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "monotonic_adjust": q_monotonic_adjust,
+    "timestamps_unsorted": q_timestamps_unsorted,
+    "parser_count": q_parser_count,
+    "hour_histogram": q_hour_histogram,
+    "avg_change": q_avg_change,
+    "match_filter": q_match_filter,
+    "allowlist": q_allowlist,
+    "time_intervals": q_time_intervals,
+    "count_cluster": q_count_cluster,
+    "min_transition": q_min_transition,
+    "minhash_sigs": q_minhash_sigs,
+    "simhash_bits": q_simhash_bits,
+    "jaccard_pairs": q_jaccard_pairs,
+    "near_dup_cos": q_near_dup_cos,
+    "lang_scores": q_lang_scores,
+    "ann_lsh": q_ann_lsh,
     "new_values": q_new_values,
     "new_combos": q_new_combos,
     "value_range": q_value_range,
@@ -296,6 +494,180 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLES: dict[str, str] = {
+    "monotonic_adjust": """
+SELECT event_id,
+       round(max(epoch_us(ts)) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0, 6) AS ts_adj
+FROM events
+""",
+    "timestamps_unsorted": """
+WITH s AS (SELECT event_id, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (ORDER BY event_id) AS prev_us
+           FROM events)
+SELECT event_id FROM s WHERE prev_us IS NOT NULL AND us < prev_us
+""",
+    "parser_count": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+""",
+    "hour_histogram": """
+SELECT event_type,
+       CAST(floor(((epoch_us(ts)/1000000.0) % 86400.0) / 3600.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2
+""",
+    "avg_change": """
+WITH t0 AS (SELECT min(epoch_us(ts)/1000000.0) AS t0 FROM events),
+pb AS (SELECT event_type,
+              CAST(floor((epoch_us(ts)/1000000.0 - t0) / 21600.0) AS BIGINT) AS bin,
+              avg(value) AS mean, count(*) AS n
+       FROM events CROSS JOIN t0 GROUP BY 1, 2),
+h AS (SELECT event_type, bin, mean,
+             avg(mean) OVER win AS hist_mean,
+             stddev_pop(mean) OVER win AS hist_std,
+             count(mean) OVER win AS n_hist
+      FROM pb
+      WINDOW win AS (PARTITION BY event_type ORDER BY bin
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+SELECT event_type, bin, round(mean, 6) AS mean,
+       (n_hist >= 2 AND abs(mean - hist_mean) > 2.0 * hist_std) AS changed
+FROM h
+""",
+    "match_filter": """
+SELECT event_id FROM events
+WHERE event_type IN ('error', 'click') AND value BETWEEN 10.0 AND 50.0
+""",
+    "allowlist": """
+SELECT event_id, event_type FROM events
+WHERE NOT (event_type = 'click' OR event_type = 'view'
+           OR (event_type = 'purchase' AND value BETWEEN 0 AND 1000))
+""",
+    "time_intervals": """
+WITH thr AS (SELECT max(event_id)/2.0 AS t FROM events),
+b AS (SELECT event_id,
+             CAST(floor(((epoch_us(ts)/1000000.0) % 86400.0) / 3600.0) AS BIGINT) AS tod_bucket,
+             event_type
+      FROM events),
+base AS (SELECT DISTINCT event_type, tod_bucket FROM b, thr WHERE event_id < t)
+SELECT DISTINCT c.event_type, c.tod_bucket FROM b c, thr
+WHERE c.event_id >= t AND NOT EXISTS (
+  SELECT 1 FROM base x WHERE x.event_type = c.event_type AND x.tod_bucket = c.tod_bucket)
+""",
+    "count_cluster": """
+WITH t0 AS (SELECT min(epoch_us(ts)/1000000.0) AS t0 FROM events),
+cv AS (SELECT user_id,
+              CAST(floor((epoch_us(ts)/1000000.0 - t0) / 86400.0) AS BIGINT) AS w,
+              event_type, count(*) AS cnt
+       FROM events CROSS JOIN t0 GROUP BY 1, 2, 3),
+base AS (SELECT user_id, event_type, cnt FROM cv WHERE w = 0),
+cur AS (SELECT * FROM cv WHERE w > 0),
+wins AS (SELECT DISTINCT user_id, w FROM cur),
+base_w AS (SELECT b.user_id, w.w, b.event_type, b.cnt AS b
+           FROM base b JOIN wins w ON b.user_id = w.user_id),
+j AS (SELECT coalesce(c.user_id, bw.user_id) AS user_id,
+             coalesce(c.w, bw.w) AS w,
+             coalesce(c.cnt, 0) AS c, coalesce(bw.b, 0) AS b
+      FROM cur c FULL OUTER JOIN base_w bw
+        ON c.user_id = bw.user_id AND c.w = bw.w AND c.event_type = bw.event_type)
+SELECT user_id, w, round(sum(abs(c - b)) * 1.0 / sum(c + b), 6) AS dist
+FROM j GROUP BY 1, 2
+""",
+    "min_transition": """
+WITH thr AS (SELECT max(event_id)/2.0 AS t FROM events),
+tr1 AS (SELECT user_id,
+               lag(event_type) OVER w AS from_value, event_type AS to_value,
+               epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0) OVER w AS dt
+        FROM events, thr WHERE event_id < t
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+learned AS (SELECT from_value, to_value, min(dt) AS min_dt FROM tr1
+            WHERE from_value IS NOT NULL GROUP BY 1, 2),
+tr2 AS (SELECT user_id,
+               lag(event_type) OVER w AS from_value, event_type AS to_value,
+               epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0) OVER w AS dt
+        FROM events, thr WHERE event_id >= t
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)))
+SELECT t.user_id, t.from_value, t.to_value, round(t.dt, 6) AS dt
+FROM tr2 t JOIN learned l ON t.from_value = l.from_value AND t.to_value = l.to_value
+WHERE t.dt < l.min_dt
+""",
+    "minhash_sigs": """
+WITH toks AS (SELECT doc_id,
+  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                   '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+grams AS (SELECT doc_id,
+  CASE WHEN len(t) >= 3
+       THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks),
+ex AS (SELECT doc_id, unnest(g) AS sh FROM grams),
+seeded AS (SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || ':' || sh) AS h
+           FROM ex CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s)
+SELECT doc_id, CAST(seed AS INT) AS seed, min(h) AS minhash
+FROM seeded GROUP BY 1, 2
+""",
+    "simhash_bits": """
+WITH toks AS (SELECT doc_id,
+  unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                          '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+bits AS (SELECT doc_id, b.bit,
+  (strpos('0123456789abcdef', substr(hh, CAST(b.bit // 4 AS INT) + 1, 1)) - 1) AS nib
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b),
+c AS (SELECT doc_id, bit,
+  CASE WHEN CAST(floor(nib / power(2, bit % 4)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM bits)
+SELECT doc_id, CAST(bit AS INT) AS bit,
+       CAST(CASE WHEN sum(contrib) > 0 THEN 1 ELSE 0 END AS INT) AS b
+FROM c GROUP BY 1, 2
+""",
+    "jaccard_pairs": """
+WITH toks AS (SELECT doc_id,
+  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                   '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+grams AS (SELECT doc_id,
+  CASE WHEN len(t) >= 3
+       THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks),
+sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+ex AS (SELECT doc_id, unnest(g) AS sh FROM grams),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= 0.2
+""",
+    "near_dup_cos": """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS le
+           FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.le, b.le)
+                   / sqrt(list_dot_product(a.le, a.le) * list_dot_product(b.le, b.le)), 9) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.45
+""",
+    "lang_scores": """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+s AS (SELECT doc_id,
+  greatest(len(toks), 1) * 1.0 AS n,
+  len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','mit','ein'))) AS de,
+  len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with'))) AS en,
+  len(list_filter(toks, x -> x IN ('le','la','les','et','est','dans','pour','que'))) AS fr
+  FROM t)
+SELECT doc_id,
+  round(de / n, 6) AS score_de, round(en / n, 6) AS score_en, round(fr / n, 6) AS score_fr,
+  CASE greatest(round(de / n, 9), round(en / n, 9), round(fr / n, 9))
+    WHEN round(de / n, 9) THEN 'de'
+    WHEN round(en / n, 9) THEN 'en'
+    ELSE 'fr' END AS lang_pred
+FROM s
+""",
     "new_values": """
 WITH thr AS (SELECT max(event_id)/2.0 AS t FROM events),
 base AS (SELECT DISTINCT user_id FROM events, thr WHERE event_id < t)

@@ -179,6 +179,49 @@ def simhash64(
     )
 
 
+def portable_simhash_bits(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 64
+) -> DataFrame:
+    """Relational SimHash with a portable (md5-hex-nibble) token hash —
+    one row per (id, bit) with the majority bit value. Cross-engine
+    deterministic (md5/substr/strpos exist everywhere), used by the oracle
+    parity query; ``simhash64`` (xxhash64, packed long) is the scale path."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    bits = toks.select(
+        "_id",
+        "h",
+        F.explode(F.array(*[F.lit(i) for i in range(n_bits)])).alias("bit"),
+    )
+    nibble = F.conv(
+        F.substring(F.col("h"), (F.col("bit") / 4 + 1).cast("int"), 1), 16, 10
+    ).cast("int")
+    bitval = F.floor(nibble / F.pow(F.lit(2.0), F.pmod(F.col("bit"), F.lit(4)))).cast(
+        "long"
+    ) % 2
+    contrib = F.when(bitval == 1, 1).otherwise(-1)
+    return (
+        bits.withColumn("c", contrib)
+        .groupBy("_id", "bit")
+        .agg(F.sum("c").alias("s"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("bit").cast("int").alias("bit"),
+            F.when(F.col("s") > 0, 1).otherwise(0).cast("int").alias("b"),
+        )
+    )
+
+
+def all_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact candidate set: every (id_a < id_b) pair — the small-input /
+    oracle path; use lsh_candidate_pairs at scale."""
+    a = df.select(F.col(id_col).alias("id_a"))
+    b = df.select(F.col(id_col).alias("id_b"))
+    return a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
