@@ -1,0 +1,87 @@
+"""Input connectors with parse-status tracking.
+
+Re-expresses the reference input layer (semantics, not code):
+- FileLogDataResource / LogStream (aminer/input/LogStream.py:30-380): file
+  tailing + rollover + resume ≙ spark.read/readStream file sources with
+  checkpointed progress (plans/checkpoint.py); a `source` lineage column
+  replaces the LogStream handle.
+- ByteStreamLineAtomizer (aminer/input/ByteStreamLineAtomizer.py:39-229):
+  line splitting with max_line_length "overlong line" events ≙
+  read_text_lines + the overlong flag; the incremental JSON scanner
+  (JsonStateMachine.py) ≙ from_json with PERMISSIVE corrupt-record capture.
+- UnparsedAtomHandlers (aminer/analysis/UnparsedAtomHandlers.py:23-77):
+  unparsed atoms are first-class → every reader emits `_parse_ok` and the
+  violations pipeline filters `~_parse_ok`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_text_lines(
+    spark: SparkSession,
+    path: str,
+    max_line_length: int | None = None,
+    source_tag: str | None = None,
+    streaming: bool = False,
+) -> DataFrame:
+    """Lines + ingest metadata. Columns: (raw, source, ingest_order,
+    overlong). `ingest_order` gives the batch engine the reference's
+    sequential atom order (for TimestampsUnsortedDetector etc.)."""
+    reader = spark.readStream if streaming else spark.read
+    df = reader.text(path)
+    df = df.select(
+        F.col("value").alias("raw"),
+        (F.lit(source_tag) if source_tag else F.input_file_name()).alias("source"),
+        F.monotonically_increasing_id().alias("ingest_order"),
+    )
+    overlong = (
+        (F.length("raw") > max_line_length) if max_line_length else F.lit(False)
+    )
+    return df.withColumn("overlong", overlong)
+
+
+def parse_json_atoms(
+    df: DataFrame,
+    schema: T.StructType,
+    raw_col: str = "raw",
+    strict: bool = False,
+) -> DataFrame:
+    """from_json with unparsed-atom tracking: adds `parsed` struct and
+    `_parse_ok`. ``strict=True`` additionally fails records whose top-level
+    key set differs from the schema (JsonModelElement's allow_all_fields /
+    missing-key strictness, JsonModelElement.py:52-514)."""
+    parsed = F.from_json(F.col(raw_col), schema)
+    # from_json yields an all-null struct (not NULL) for malformed input in
+    # PERMISSIVE mode — a map-parse of the same record is NULL exactly when
+    # the record isn't a valid JSON object, so that's the parse-ok signal
+    as_map = F.from_json(F.col(raw_col), T.MapType(T.StringType(), T.StringType()))
+    ok = as_map.isNotNull()
+    if strict:
+        # key-set equality (JsonModelElement strictness: no extra/missing keys)
+        expected = F.array(*[F.lit(f.name) for f in schema.fields])
+        ok = ok & (F.sort_array(F.map_keys(as_map)) == F.sort_array(expected))
+    return df.withColumn("parsed", parsed).withColumn("_parse_ok", ok)
+
+
+def unparsed_atoms(df: DataFrame) -> DataFrame:
+    """SimpleUnparsedAtomHandler analog: the rows that failed parsing."""
+    return df.filter(~F.col("_parse_ok"))
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Canonical documents table (parquet/Iceberg dir)."""
+    return spark.read.parquet(path)
+
+
+def multisource_union(sources: list[DataFrame]) -> DataFrame:
+    """Batch analog of SimpleMultisourceAtomSync: union then event-time
+    ordering is free (any orderBy/window downstream); no wait protocol
+    needed because batch sees the closed set of atoms."""
+    out = sources[0]
+    for s in sources[1:]:
+        out = out.unionByName(s, allowMissingColumns=True)
+    return out

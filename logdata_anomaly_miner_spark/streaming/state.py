@@ -1,0 +1,91 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+Re-expresses the per-detector in-memory state loop (AnalysisChild
+dispatch_atom + detector.receive_atom) for true streaming:
+
+- ``streaming_new_values``: per-key known-values state; emits each value the
+  first time it is ever seen (NewMatchPathValueDetector's learn_mode
+  semantics, NewMatchPathValueDetector.py:91-98, with state in the Spark
+  state store instead of a persistence JSON).
+- ``streaming_missing_values``: heartbeat detector with processing-time
+  timeout ≙ MissingMatchPathValueDetector's default_interval alerts
+  (MissingMatchPathValueDetector.py:25-334).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+NEW_VALUE_OUTPUT_SCHEMA = "target string, value string, first_ts double"
+NEW_VALUE_STATE_SCHEMA = "seen array<string>"
+
+
+def _new_value_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (target,) = key
+    seen = set(state.get[0]) if state.exists else set()
+    out_vals, out_ts = [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for v, t in zip(pdf["value"], pdf["ts"]):
+            if v is not None and v not in seen:
+                seen.add(v)
+                out_vals.append(v)
+                out_ts.append(float(t))
+    state.update((list(seen),))
+    yield pd.DataFrame(
+        {"target": [target] * len(out_vals), "value": out_vals, "first_ts": out_ts}
+    )
+
+
+def streaming_new_values(stream: DataFrame, target_col: str = "target") -> DataFrame:
+    """stream(target, value, ts) -> first-ever occurrences per target.
+    State = the known-values set per key in the Spark state store."""
+    return stream.groupBy(target_col).applyInPandasWithState(
+        _new_value_fn,
+        outputStructType=NEW_VALUE_OUTPUT_SCHEMA,
+        stateStructType=NEW_VALUE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+MISSING_OUTPUT_SCHEMA = "value string, last_seen double"
+MISSING_STATE_SCHEMA = "last_seen double"
+
+
+def _missing_value_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (value,) = key
+    if state.hasTimedOut:
+        last = state.get[0] if state.exists else float("nan")
+        state.remove()
+        yield pd.DataFrame({"value": [value], "last_seen": [last]})
+        return
+    last = state.get[0] if state.exists else 0.0
+    for pdf in pdfs:
+        if len(pdf):
+            last = max(last, float(pdf["ts"].max()))
+    state.update((last,))
+    state.setTimeoutDuration(int(60_000))
+    yield pd.DataFrame({"value": [], "last_seen": []})
+
+
+def streaming_missing_values(
+    stream: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """stream(value, ts) -> a row when a value goes silent past the timeout
+    (processing-time timeout ≙ the reference's realert interval)."""
+    return stream.groupBy(value_col).applyInPandasWithState(
+        _missing_value_fn,
+        outputStructType=MISSING_OUTPUT_SCHEMA,
+        stateStructType=MISSING_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,150 @@
+"""Sources, sinks, multimodal plumbing, and Structured Streaming operators."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logdata_anomaly_miner_spark.functions.multimodal import (
+    extract_features,
+    gen_media_blobs,
+    media_feature_table,
+    sample_frames,
+)
+from logdata_anomaly_miner_spark.plans.sinks import score_events, to_json_events
+from logdata_anomaly_miner_spark.sources.readers import (
+    multisource_union,
+    parse_json_atoms,
+    read_text_lines,
+    unparsed_atoms,
+)
+
+
+def test_read_text_lines_overlong(spark):
+    with tempfile.TemporaryDirectory() as d:
+        with open(f"{d}/a.log", "w") as f:
+            f.write("short\n" + "x" * 100 + "\nanother\n")
+        df = read_text_lines(spark, d, max_line_length=50)
+        rows = df.collect()
+        assert len(rows) == 3
+        assert sum(r["overlong"] for r in rows) == 1
+        assert all(r["source"].endswith("a.log") for r in rows)
+
+
+def test_parse_json_atoms(spark):
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    rows = [
+        ('{"a": 1, "b": "x"}',),
+        ("not json at all {",),
+        ('{"a": 2, "b": "y", "extra": 1}',),
+    ]
+    df = spark.createDataFrame(rows, "raw string")
+    out = parse_json_atoms(df, schema, strict=False)
+    oks = [r["_parse_ok"] for r in out.collect()]
+    assert oks == [True, False, True]  # PERMISSIVE: extra key still parses
+    strict = parse_json_atoms(df, schema, strict=True)
+    oks = [r["_parse_ok"] for r in strict.collect()]
+    assert oks == [True, False, False]  # strict: extra key -> unparsed
+    assert unparsed_atoms(strict).count() == 2
+
+
+def test_multisource_union(spark):
+    a = spark.createDataFrame([(1.0, "a")], "ts double, v string")
+    b = spark.createDataFrame([(2.0, "b", "extra")], "ts double, v string, w string")
+    out = multisource_union([a, b])
+    assert out.count() == 2 and "w" in out.columns
+
+
+def test_json_events_and_scoring(spark):
+    v = spark.createDataFrame(
+        [("new_value", "New value(s) detected", 1.0, None, "val_a", None)],
+        "detector string, message string, ts double, group_key string, value string, detail string",
+    )
+    j = json.loads(to_json_events(v).collect()[0]["event_json"])
+    assert j["AnalysisComponent"]["AffectedLogAtomValues"] == ["val_a"]
+    assert j["AnalysisComponent"]["Message"] == "New value(s) detected"
+    s = score_events(v, {"new_value": 0.9}).collect()[0]
+    assert s["confidence"] == 0.9
+
+
+def test_multimodal_features(spark):
+    blobs = gen_media_blobs(spark, 30)
+    feats = extract_features(blobs)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # deterministic across runs
+    again = {r["media_id"]: r["feature"] for r in extract_features(blobs).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
+    table = media_feature_table(spark, blobs)
+    assert table.filter(F.col("meta").isNotNull()).count() == 30
+
+
+def test_multimodal_frames(spark):
+    blobs = gen_media_blobs(spark, 30)
+    frames = sample_frames(blobs, n_frames=3)
+    n_videos = blobs.filter("media_kind = 'video'").count()
+    rows = frames.collect()
+    assert len(rows) == n_videos * 3
+    assert all(isinstance(r["frame_payload"], (bytes, bytearray)) for r in rows)
+
+
+def test_multimodal_real_decoder_stub(spark):
+    import pytest
+
+    blobs = gen_media_blobs(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        extract_features(blobs, fake=False).collect()
+
+
+def test_streaming_window_counts(spark):
+    from logdata_anomaly_miner_spark.streaming.frequency import streaming_window_counts
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1_700_000_000.0 + i, "a" if i % 2 else "b") for i in range(20)],
+            "ts double, k string",
+        ).write.parquet(f"{d}/in")
+        stream = spark.readStream.schema("ts double, k string").parquet(f"{d}/in")
+        counts = streaming_window_counts(stream, ["k"], window_size_s=10.0)
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = spark.sql("select * from win_counts").collect()
+        assert sum(r["cnt"] for r in rows) == 20
+        assert {r["k"] for r in rows} == {"a", "b"}
+
+
+def test_streaming_new_values(spark):
+    from logdata_anomaly_miner_spark.streaming.state import streaming_new_values
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [("p1", "x", 1.0), ("p1", "x", 2.0), ("p1", "y", 3.0), ("p2", "x", 4.0)],
+            "target string, value string, ts double",
+        ).write.parquet(f"{d}/in")
+        stream = spark.readStream.schema("target string, value string, ts double").parquet(f"{d}/in")
+        out = streaming_new_values(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("new_vals")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = sorted(
+            (r["target"], r["value"]) for r in spark.sql("select * from new_vals").collect()
+        )
+        assert rows == [("p1", "x"), ("p1", "y"), ("p2", "x")]
