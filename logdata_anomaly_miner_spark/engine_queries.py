@@ -452,7 +452,45 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.operators.variable_type import ks_statistic
+
+    ev = _halved(_read(spark, sf_dir, "events"))
+    a = ev.filter("event_id < thr").select("event_type", "value")
+    b = ev.filter("event_id >= thr").select("event_type", "value")
+    out = ks_statistic(a, b, "value", ["event_type"])
+    return out.select("event_type", F.round("ks", 6).alias("ks"))
+
+
+def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.operators.correlation import chi_square
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 5).cast("string")
+    )
+    out = chi_square(ev, "event_type", "user_bucket")
+    return out.select(F.round("chi2", 6).alias("chi2"), F.col("dof").cast("long").alias("dof"))
+
+
+def q_variable_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logdata_anomaly_miner_spark.operators.variable_type import infer_variable_types
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.col("props").alias("value"),
+    )
+    out = infer_variable_types(ev, "grp", "value")
+    return out.select(
+        "grp", "var_type", "n",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round("null_rate", 6).alias("null_rate"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ks_drift": q_ks_drift,
+    "chi2": q_chi2,
+    "variable_types": q_variable_types,
     "monotonic_adjust": q_monotonic_adjust,
     "timestamps_unsorted": q_timestamps_unsorted,
     "parser_count": q_parser_count,
@@ -494,6 +532,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLES: dict[str, str] = {
+    "ks_drift": """
+WITH thr AS (SELECT max(event_id)/2.0 AS t FROM events),
+u AS (SELECT event_type, value AS v,
+             CASE WHEN event_id < t THEN 0 ELSE 1 END AS s
+      FROM events, thr WHERE value IS NOT NULL),
+c AS (SELECT event_type,
+             sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS nb
+      FROM u GROUP BY 1),
+st AS (SELECT event_type, v,
+              sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) OVER w AS ca,
+              sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) OVER w AS cb
+       FROM u
+       WINDOW w AS (PARTITION BY event_type ORDER BY v, s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tied AS (SELECT event_type, v,
+                max(ca) OVER (PARTITION BY event_type, v) AS ca,
+                max(cb) OVER (PARTITION BY event_type, v) AS cb
+         FROM st)
+SELECT t.event_type, round(max(abs(t.ca * 1.0 / c.na - t.cb * 1.0 / c.nb)), 6) AS ks
+FROM tied t JOIN c ON t.event_type = c.event_type
+GROUP BY t.event_type
+""",
+    "chi2": """
+WITH src AS (SELECT event_type AS a, CAST(user_id % 5 AS VARCHAR) AS b FROM events),
+obs AS (SELECT a, b, count(*) AS cnt FROM src GROUP BY 1, 2),
+ra AS (SELECT a, sum(cnt) AS ra FROM obs GROUP BY 1),
+rb AS (SELECT b, sum(cnt) AS rb FROM obs GROUP BY 1),
+n AS (SELECT sum(cnt) AS n FROM obs),
+cells AS (SELECT ra.a, rb.b, ra.ra, rb.rb, coalesce(obs.cnt, 0) AS cnt
+          FROM ra CROSS JOIN rb LEFT JOIN obs ON obs.a = ra.a AND obs.b = rb.b)
+SELECT round(sum((cnt - ra * rb * 1.0 / n.n) ** 2 / (ra * rb * 1.0 / n.n)), 6) AS chi2,
+       CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof
+FROM cells CROSS JOIN n GROUP BY n.n
+""",
+    "variable_types": """
+WITH agg AS (
+  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT props) AS BIGINT) AS n_distinct,
+         round(avg(CASE WHEN props IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate,
+         avg(CASE WHEN try_cast(props AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END) AS numeric_rate
+  FROM events GROUP BY 1)
+SELECT grp,
+       CASE WHEN n_distinct <= 1 THEN 'static'
+            WHEN n_distinct <= 20 THEN 'discrete'
+            WHEN numeric_rate > 0.99 THEN 'continuous'
+            ELSE 'other' END AS var_type,
+       n, n_distinct, null_rate
+FROM agg
+""",
     "monotonic_adjust": """
 SELECT event_id,
        round(max(epoch_us(ts)) OVER (ORDER BY event_id

@@ -1,0 +1,145 @@
+"""Batch-3 operators: persistence parity, variable types + KS, PCA, chi²,
+implication rules."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from logdata_anomaly_miner_spark.operators.correlation import (
+    chi_square,
+    implication_within,
+)
+from logdata_anomaly_miner_spark.operators.variable_type import (
+    check_type_drift,
+    infer_variable_types,
+    ks_statistic,
+)
+from logdata_anomaly_miner_spark.plans.persistence import (
+    known_values_from_reference_json,
+    known_values_to_reference_json,
+    ranges_from_reference_json,
+    ranges_to_reference_json,
+)
+
+T0 = 1_700_000_000.0
+
+
+def test_ranges_reference_json_golden(spark):
+    """Byte-parity with the reference golden persistence file
+    (ValueRangeDetectorTest.py:323-324)."""
+    ranges = spark.createDataFrame(
+        [("a", 2.5, 4.75), ("b", 3.1, 6.3)], "id string, min double, max double"
+    )
+    payload = ranges_to_reference_json(ranges, ["id"])
+    assert json.loads(payload) == {
+        "string:min": {"tuple:('a',)": 2.5, "tuple:('b',)": 3.1},
+        "string:max": {"tuple:('a',)": 4.75, "tuple:('b',)": 6.3},
+    }
+    back = ranges_from_reference_json(spark, payload)
+    got = {r["id"]: (r["min"], r["max"]) for r in back.collect()}
+    assert got == {"a": (2.5, 4.75), "b": (3.1, 6.3)}
+
+
+def test_known_values_reference_json(spark):
+    vals = spark.createDataFrame([("v_b",), ("v_a",)], "value string")
+    payload = known_values_to_reference_json(vals)
+    assert json.loads(payload) == ["bytes:v_a", "bytes:v_b"]  # sorted
+    back = known_values_from_reference_json(spark, payload)
+    assert sorted(r["value"] for r in back.collect()) == ["v_a", "v_b"]
+
+
+def test_infer_variable_types(spark):
+    rows = (
+        [("const", "x")] * 5
+        + [("small", str(i % 3)) for i in range(30)]
+        + [("num", str(i * 1.5)) for i in range(50)]
+        + [("text", f"tok{i}") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "var string, value string")
+    got = {r["var"]: r["var_type"] for r in infer_variable_types(df, "var", "value").collect()}
+    assert got == {"const": "static", "small": "discrete", "num": "continuous", "text": "other"}
+
+
+def test_type_drift(spark):
+    base = spark.createDataFrame(
+        [("v1", "continuous"), ("v2", "discrete")], "var string, var_type string"
+    )
+    cur = spark.createDataFrame([("v1", "x")] * 5 + [("v2", str(i % 3)) for i in range(30)],
+                                "var string, value string")
+    drift = check_type_drift(cur, base, "var", "value")
+    assert [(r["var"], r["cur_type"]) for r in drift.collect()] == [("v1", "static")]
+
+
+def test_ks_statistic_matches_numpy(spark):
+    rng = np.random.RandomState(42)
+    xa = rng.normal(0, 1, 300)
+    xb = rng.normal(0.7, 1, 200)
+
+    def ks_ref(x, y):
+        allv = np.sort(np.concatenate([x, y]))
+        ca = np.searchsorted(np.sort(x), allv, side="right") / len(x)
+        cb = np.searchsorted(np.sort(y), allv, side="right") / len(y)
+        return float(np.abs(ca - cb).max())
+
+    a = spark.createDataFrame([(float(v),) for v in xa], "v double")
+    b = spark.createDataFrame([(float(v),) for v in xb], "v double")
+    got = ks_statistic(a, b, "v").collect()[0]["ks"]
+    assert got == pytest.approx(ks_ref(xa, xb), abs=1e-12)
+
+
+def test_ks_with_ties_and_groups(spark):
+    a = spark.createDataFrame([("g", 1.0), ("g", 1.0), ("g", 2.0)], "grp string, v double")
+    b = spark.createDataFrame([("g", 1.0), ("g", 3.0)], "grp string, v double")
+    # ECDFs evaluated after ties: at v=1: |2/3 - 1/2|=1/6; v=2: |1 - 1/2|=1/2; v=3: 0
+    got = ks_statistic(a, b, "v", ["grp"]).collect()[0]
+    assert got["grp"] == "g" and got["ks"] == pytest.approx(0.5)
+
+
+def test_chi_square(spark):
+    # perfectly dependent: a==b
+    dep = spark.createDataFrame([(str(i % 2), str(i % 2)) for i in range(100)], "x string, y string")
+    c = chi_square(dep, "x", "y").collect()[0]
+    assert c["chi2"] == pytest.approx(100.0)  # N for a 2x2 perfect association
+    assert c["dof"] == 1
+    # independent-ish: chi2 near 0
+    ind = spark.createDataFrame(
+        [(str(i % 2), str((i // 2) % 2)) for i in range(100)], "x string, y string"
+    )
+    assert chi_square(ind, "x", "y").collect()[0]["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_implication_within(spark):
+    rows = [
+        (T0 + 0, "req", "s1"),
+        (T0 + 1, "resp", "s1"),   # s1: resp within [0,5] -> ok
+        (T0 + 10, "req", "s2"),   # s2: no resp -> violation
+        (T0 + 20, "req", "s3"),
+        (T0 + 40, "resp", "s3"),  # s3: resp too late -> violation
+    ]
+    df = spark.createDataFrame(rows, "ts double, typ string, sid string")
+    v = implication_within(
+        df, F.col("typ") == "req", F.col("typ") == "resp", 0.0, 5.0, key_cols=("sid",)
+    )
+    assert sorted(r["sid"] for r in v.collect()) == ["s2", "s3"]
+
+
+def test_pca_detector(spark):
+    from logdata_anomaly_miner_spark.operators.pca import check_pca_anomalies
+
+    rows = []
+    # 20 normal windows: counts of 'a' and 'b' move TOGETHER (n, n) with n
+    # varying 3..8 -> PC1 is the diagonal; an anomaly breaks the correlation
+    for w in range(20):
+        n = 3 + (w % 6)
+        rows += [(T0 + w * 10 + i * 0.5, "a") for i in range(n)]
+        rows += [(T0 + w * 10 + 5 + i * 0.5, "b") for i in range(n)]
+    # weird window 20: 12 a's, 0 b's (orthogonal to the learned structure)
+    rows += [(T0 + 200 + i * 0.1, "a") for i in range(12)]
+    df = spark.createDataFrame(rows, "ts double, typ string")
+    anomalies = check_pca_anomalies(df, "typ", window_size=10.0, k=1)
+    ws = [r["w"] for r in anomalies.collect()]
+    assert ws == [20]
