@@ -30,13 +30,26 @@ def first_occurrences(
     df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[str]
 ) -> DataFrame:
     """Keep the first row per key in (order_cols) order — AMiner's
-    'report a new value once, when it first arrives' semantics."""
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    'report a new value once, when it first arrives' semantics.
+
+    Implemented as min(struct(order..., rest...)) per key rather than a
+    row_number window: the aggregate gets map-side partial aggregation
+    (each task reduces its partition to |local keys| rows before the
+    shuffle), while a window must shuffle and sort EVERY row. At 10^12 rows
+    with mostly-unique keys both move similar data, but with repeated keys
+    the aggregate wins by the repetition factor.
+
+    Note: rows whose order_cols tie are broken by the remaining columns'
+    values (struct comparison), which is still deterministic."""
+    rest = [c for c in df.columns if c not in order_cols]
+    packed = df.groupBy(*key_cols).agg(
+        F.min(F.struct(*[F.col(c) for c in order_cols], *[F.col(c) for c in rest])).alias("_f")
     )
+    return packed.select(
+        *[F.col(f"_f.{c}").alias(c) for c in order_cols if c not in key_cols],
+        *[F.col(f"_f.{c}").alias(c) for c in rest if c not in key_cols],
+        *[F.col(c) for c in key_cols],
+    ).select(*df.columns)
 
 
 def check_new_values(
