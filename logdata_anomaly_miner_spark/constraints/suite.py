@@ -181,9 +181,14 @@ def run_suite(
         violations = violations.unionByName(c)
     violations = violations.persist()
 
-    n_docs = docs.count()
-    n_spans = flat.count()
-    part_counts = docs.groupBy("partition").agg(F.count(F.lit(1)).alias("n_docs"))
+    # ONE action computes everything: the verdicts aggregation forces the
+    # whole violations union, and its (tiny) collected result carries every
+    # metric — no separate count() jobs, each of which would re-run Catalyst
+    # analysis over the large union plan (a driver-serial cost).
+    part_counts = docs.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("spans")).alias("n_spans"),
+    )
     verdicts = (
         part_counts.join(
             violations.groupBy("partition", "suite").agg(
@@ -192,10 +197,19 @@ def run_suite(
             "partition",
             "left",
         )
+        .withColumn("suite", F.coalesce("suite", F.lit(None).cast("string")))
         .withColumn("n_violations", F.coalesce("n_violations", F.lit(0)))
         .withColumn("pass", F.col("n_violations") == 0)
     )
-    n_viol = violations.count()
+    vrows = verdicts.collect()
+    verdicts = spark.createDataFrame(vrows, verdicts.schema) if vrows else verdicts
+    parts = {}
+    n_viol = 0
+    for r in vrows:
+        parts[r["partition"]] = (r["n_docs"], r["n_spans"])
+        n_viol += r["n_violations"]
+    n_docs = sum(v[0] for v in parts.values())
+    n_spans = sum(v[1] for v in parts.values())
     wall = time.time() - t_start
     metrics = {
         "rows_scanned": n_docs,

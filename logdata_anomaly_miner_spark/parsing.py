@@ -1,0 +1,215 @@
+"""Columnar parsing-model layer.
+
+Re-expresses the reference's ModelElement grammar (aminer/parsing/*.py —
+see SURVEY.md §2.2) Spark-first: instead of a byte-cursor PEG interpreter
+walking each line (MatchContext + get_match_element recursion), the model
+DAG **compiles to one anchored Java regex with named groups** plus a typed
+extraction per group. Parsing a table of raw lines is then a single
+whole-stage-codegen'd projection — no per-row Python, no cursor.
+
+Element → reference → here:
+  fixed(s)              FixedDataModelElement:19        literal (escaped)
+  wordlist([...])       FixedWordlistDataModelElement   (w1|w2|...)
+  any_bytes             AnyByteDataModelElement:18      (.+)
+  delimited(d)          DelimitedDataModelElement:20    ([^d]*) + delim
+  variable_bytes(al)    VariableByteDataModelElement    ([al]+)
+  whitespace_limited    WhiteSpaceLimitedDataModelElement ([^ \\t]+)
+  hex_string            HexStringModelElement:19        ([0-9a-f]+)
+  base64_string         Base64StringModelElement:21     group + unbase64
+  decimal_integer       DecimalIntegerValueModelElement ([+-]?\\d+) → long
+  decimal_float         DecimalFloatValueModelElement   sign/exp form → double
+  ip_address            IpAddressDataModelElement:19    dotted quad → packed long
+  datetime_el(fmt)      DateTimeModelElement:70         group + to_timestamp
+  seq(...)              SequenceModelElement:19         concatenation
+  first_match(...)      FirstMatchModelElement:17       (?:alt1|alt2) ordered
+  optional(child)       OptionalMatchModelElement:18    (?:...)?
+  repeated(child,m,n)   RepeatedElementDataModelElement (?:...){m,n} (value = span)
+
+Value-dependent branching (ElementValueBranchModelElement:22) is applied
+AFTER extraction with when()/otherwise() — a value-dependent grammar cannot
+be one regex, but its discriminator column drives per-branch re-parses.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Element:
+    pattern: str                      # regex fragment (group included if named)
+    name: str | None = None           # None = anonymous (no capture)
+    caster: str | None = None         # long | double | base64 | ip | ts:<fmt>
+    children: list = field(default_factory=list)
+
+
+def _grp(name: str | None, inner: str) -> str:
+    if name is None:
+        return f"(?:{inner})"
+    safe = re.sub(r"[^A-Za-z0-9]", "", name)
+    return f"(?<{safe}>{inner})"
+
+
+def fixed(text: str) -> Element:
+    return Element(re.escape(text))
+
+
+def wordlist(name: str, words: list[str]) -> Element:
+    alts = "|".join(re.escape(w) for w in sorted(words, key=len, reverse=True))
+    return Element(_grp(name, alts), name)
+
+
+def any_bytes(name: str) -> Element:
+    return Element(_grp(name, ".+"), name)
+
+
+def delimited(name: str, delim: str, consume_delimiter: bool = True) -> Element:
+    d = re.escape(delim)
+    pat = _grp(name, f"[^{d}]*") + (d if consume_delimiter else "")
+    return Element(pat, name)
+
+
+def variable_bytes(name: str, alphabet: str) -> Element:
+    return Element(_grp(name, f"[{re.escape(alphabet)}]+"), name)
+
+
+def whitespace_limited(name: str) -> Element:
+    return Element(_grp(name, r"[^ \t]+"), name)
+
+
+def hex_string(name: str, allow_upper: bool = False) -> Element:
+    cls = "0-9a-fA-F" if allow_upper else "0-9a-f"
+    return Element(_grp(name, f"[{cls}]+"), name)
+
+
+def base64_string(name: str) -> Element:
+    return Element(_grp(name, r"[A-Za-z0-9+/]+={0,2}"), name, caster="base64")
+
+
+def decimal_integer(name: str, allow_sign: bool = True) -> Element:
+    sign = r"[+-]?" if allow_sign else ""
+    return Element(_grp(name, sign + r"\d+"), name, caster="long")
+
+
+def decimal_float(name: str, allow_exponent: bool = True) -> Element:
+    exp = r"(?:[eE][+-]?\d+)?" if allow_exponent else ""
+    return Element(_grp(name, r"[+-]?\d+(?:\.\d+)?" + exp), name, caster="double")
+
+
+def ip_address(name: str) -> Element:
+    quad = r"\d{1,3}(?:\.\d{1,3}){3}"
+    return Element(_grp(name, quad), name, caster="ip")
+
+
+def datetime_el(name: str, fmt: str, pattern: str) -> Element:
+    """pattern matches the textual form; fmt is the Spark datetime pattern
+    used for the typed value (to_timestamp)."""
+    return Element(_grp(name, pattern), name, caster=f"ts:{fmt}")
+
+
+def seq(*children: Element) -> Element:
+    e = Element("".join(c.pattern for c in children))
+    e.children = list(children)
+    return e
+
+
+def first_match(*children: Element) -> Element:
+    e = Element("(?:" + "|".join(c.pattern for c in children) + ")")
+    e.children = list(children)
+    return e
+
+
+def optional(child: Element) -> Element:
+    e = Element(f"(?:{child.pattern})?")
+    e.children = [child]
+    return e
+
+
+def repeated(child: Element, min_n: int = 0, max_n: int | None = None,
+             name: str | None = None) -> Element:
+    """Whole repeated span captured under `name`; per-item values are
+    recovered downstream with regexp_extract_all over that span (Spark has
+    no per-iteration capture, same as any single-pass regex engine)."""
+    bound = f"{{{min_n},{max_n if max_n is not None else ''}}}"
+    inner = f"(?:{child.pattern}){bound}"
+    e = Element(_grp(name, inner) if name else inner, name)
+    e.children = [child]
+    return e
+
+
+def _collect_typed(e: Element, out: list[tuple[str, str | None]]) -> None:
+    if e.name is not None:
+        out.append((re.sub(r"[^A-Za-z0-9]", "", e.name), e.caster))
+    for c in e.children:
+        _collect_typed(c, out)
+
+
+def _ip_to_long(c: Column) -> Column:
+    parts = F.split(c, r"\.")
+    return (
+        F.element_at(parts, 1).cast("long") * 16777216
+        + F.element_at(parts, 2).cast("long") * 65536
+        + F.element_at(parts, 3).cast("long") * 256
+        + F.element_at(parts, 4).cast("long")
+    )
+
+
+def compile_model(model: Element) -> str:
+    """Full-consumption anchored regex (ByteStreamLineAtomizer requires the
+    model to consume the whole line, ByteStreamLineAtomizer.py:180-203)."""
+    return f"^{model.pattern}$"
+
+
+def parse(df: DataFrame, raw_col: str, model: Element) -> DataFrame:
+    """Apply the compiled model: one regexp pass per named group + _parse_ok.
+    Unmatched lines keep null groups and _parse_ok = false (first-class
+    unparsed atoms, UnparsedAtomHandlers analog)."""
+    rx = compile_model(model)
+    groups: list[tuple[str, str | None]] = []
+    _collect_typed(model, groups)
+    out = df.withColumn("_parse_ok", F.col(raw_col).rlike(rx))
+    for gname, caster in groups:
+        # Spark regexp_extract takes a group INDEX; map name -> index by
+        # scanning the pattern for capture-group openings in order.
+        idx = _group_index(rx, gname)
+        val = F.when(F.col("_parse_ok"), F.regexp_extract(F.col(raw_col), rx, idx))
+        if caster == "long":
+            col = val.try_cast("long")
+        elif caster == "double":
+            col = val.try_cast("double")
+        elif caster == "base64":
+            col = F.unbase64(val)
+        elif caster == "ip":
+            col = _ip_to_long(val)
+        elif caster and caster.startswith("ts:"):
+            col = F.to_timestamp(val, caster[3:])
+        else:
+            col = val
+        # empty-string groups from non-participating alternations -> null
+        col = F.when(F.col("_parse_ok") & (F.length(val) > 0), col)
+        out = out.withColumn(gname, col)
+    return out
+
+
+def _group_index(rx: str, name: str) -> int:
+    """1-based index of named group `name` among all capturing groups."""
+    idx = 0
+    i = 0
+    while i < len(rx):
+        if rx[i] == "\\":
+            i += 2
+            continue
+        if rx[i] == "(":
+            if rx.startswith("(?<", i) and not rx.startswith("(?<=", i) and not rx.startswith("(?<!", i):
+                idx += 1
+                end = rx.index(">", i)
+                if rx[i + 3:end] == name:
+                    return idx
+            elif not rx.startswith("(?", i):
+                idx += 1
+        i += 1
+    raise KeyError(name)
