@@ -139,26 +139,32 @@ def run_suite(
         _viol(media_kind_consistency(flat), "schema", "media_ref on non-media kind")
     )
 
-    # 4. novelty: first occurrence of unseen (kind, text)
+    # 4. novelty: first occurrence of unseen (kind, text). Shuffle carries
+    # only the violation projection (4 narrow cols), not the full span row.
     nv = check_new_values(
-        flat.filter(F.col("text").isNotNull()),
+        flat.filter(F.col("text").isNotNull()).select(
+            "kind", "text", "ts", "doc_id", "partition"
+        ),
         ["kind", "text"],
         cfg.known_kind_text,
-        order_cols=["ts", "doc_id", "ord"],
+        order_cols=["ts", "doc_id"],
     )
     checks.append(_viol(nv, "new_value", "New value(s) detected"))
 
-    # 5. entropy: texts scoring below prob_thresh vs bigram baseline
+    # 5. entropy: dedup-before-compute — learn and score over DISTINCT texts
+    # (|distinct| ≪ |spans| for natural corpora), then pick up the violating
+    # spans with a broadcast semi-join on the (small) failing-text set.
+    # Learning from distinct values ≙ the reference's skip_repetitions mode
+    # (EntropyDetector.py:170-174).
+    texts = flat.filter(F.col("text").isNotNull()).select("text").dropDuplicates()
     freq = cfg.entropy_freq
     if freq is None:
-        freq, _ = learn_bigram_freq(flat, "text")
-    scored = score_entropy_pandas(spark, flat.filter(F.col("text").isNotNull()), "text", freq)
+        freq, _ = learn_bigram_freq(texts, "text")
+    scored_texts = score_entropy_pandas(spark, texts, "text", freq)
+    bad_texts = check_entropy(scored_texts, cfg.entropy_prob_thresh).select("text")
+    entropy_rows = flat.join(F.broadcast(bad_texts), "text", "left_semi")
     checks.append(
-        _viol(
-            check_entropy(scored, cfg.entropy_prob_thresh),
-            "entropy",
-            "Value entropy anomaly detected",
-        )
+        _viol(entropy_rows, "entropy", "Value entropy anomaly detected")
     )
 
     # 6. drift: text-length distribution vs baseline histogram, per kind
