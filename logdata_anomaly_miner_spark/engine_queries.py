@@ -56,6 +56,10 @@ def _epoch(col: str = "ts") -> F.Column:
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver runs queries() under ITS session; TIMESTAMP_NTZ -> epoch
+    # conversion goes through the session time zone, so pin UTC for
+    # deterministic parity with DuckDB's tz-naive epoch_us().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
