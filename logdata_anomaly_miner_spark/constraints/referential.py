@@ -15,6 +15,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def dangling_media_refs(documents: DataFrame, media: DataFrame) -> DataFrame:
+    """Documents-table form with a PRUNED scan: exploding the field array
+    (`explode(spans.media_ref)`) lets Catalyst read only that nested column
+    — `posexplode(spans)` followed by a field select does NOT prune (the
+    generator blocks nested-column aliasing; verified with
+    explain("formatted")). At 100 TB this is the difference between reading
+    ~3% and 100% of the span bytes."""
+    refs = (
+        documents.select(F.explode("spans.media_ref").alias("media_ref"))
+        .filter(F.col("media_ref").isNotNull())
+        .dropDuplicates()
+    )
+    return refs.join(
+        F.broadcast(media.select(F.col("media_id").alias("media_ref"))),
+        on=["media_ref"],
+        how="left_anti",
+    )
+
+
 def dangling_refs(
     fact: DataFrame,
     fk_col: str,

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logdata_anomaly_miner_spark.constraints.drift import histogram, psi_kl
-from logdata_anomaly_miner_spark.constraints.referential import dangling_refs
+from logdata_anomaly_miner_spark.constraints.referential import dangling_media_refs
 from logdata_anomaly_miner_spark.constraints.uniqueness import duplicate_keys_salted
 from logdata_anomaly_miner_spark.constraints.schema_checks import (
     media_kind_consistency,
@@ -124,8 +124,10 @@ def run_suite(
         )
     )
 
-    # 2. referential integrity of media_ref (broadcast anti-join, per-ref)
-    dangling = dangling_refs(flat, "media_ref", media, "media_id", distinct=True)
+    # 2. referential integrity of media_ref: the dangling-ref SET comes from
+    # a nested-pruned scan (only spans.media_ref read), then a broadcast
+    # semi-join picks up the violating span rows from the shared view
+    dangling = dangling_media_refs(docs, media)
     dangling_rows = flat.join(F.broadcast(dangling), "media_ref", "left_semi")
     checks.append(_viol(dangling_rows, "referential", "Dangling media_ref"))
 
