@@ -114,11 +114,18 @@ def run_suite(
 
     checks: list[DataFrame] = []
 
-    # 1. uniqueness of doc_id (salted two-phase aggregate)
-    dups = duplicate_keys_salted(docs.select("doc_id", "partition"), ["doc_id"])
+    # 1. uniqueness of doc_id (salted two-phase aggregate). The aggregate
+    # loses the partition column, so the (small) duplicate-key set is
+    # broadcast back onto the docs to attribute each duplicate ROW to its
+    # partition — otherwise these violations fall out of the per-partition
+    # verdicts (cross-partition duplicates hit every partition they touch).
+    dup_keys = duplicate_keys_salted(docs.select("doc_id"), ["doc_id"])
+    dup_rows = docs.select("doc_id", "partition").join(
+        F.broadcast(dup_keys), "doc_id", "inner"
+    )
     checks.append(
         _viol(
-            dups.withColumn("text", F.col("cnt").cast("string")),
+            dup_rows.withColumn("text", F.col("cnt").cast("string")),
             "uniqueness",
             "Duplicate doc_id",
         )
@@ -176,9 +183,14 @@ def run_suite(
     if cfg.baseline_hist is not None:
         drift = psi_kl(cur_hist, cfg.baseline_hist, ["kind"], cfg.n_hist_buckets)
         drift_fail = drift.filter(F.col("psi") > cfg.drift_psi_threshold)
+        # drift is a snapshot-level verdict: a drifted kind fails every
+        # partition in the batch (cross the tiny fail set with partitions)
+        drift_rows = drift_fail.crossJoin(
+            F.broadcast(docs.select("partition").dropDuplicates())
+        )
         checks.append(
             _viol(
-                drift_fail.withColumn("text", F.round("psi", 6).cast("string")),
+                drift_rows.withColumn("text", F.round("psi", 6).cast("string")),
                 "drift",
                 "Distribution drift (PSI)",
             )

@@ -445,6 +445,35 @@ def q_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (bands=4, rows_per_band=4) — the banding
+    algorithm is deterministic (md5-based), so the oracle replicates it
+    exactly in SQL."""
+    from logdata_anomaly_miner_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", n_hashes=16, shingle_k=3)
+    return lsh_candidate_pairs(sig, "doc_id", bands=4, rows_per_band=4)
+
+
+def q_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full validation suite over a deterministic synthesized documents
+    table (rows-only check: the generator is engine-internal, no SQL
+    oracle). Returns per-(partition, suite) verdicts."""
+    from logdata_anomaly_miner_spark.constraints.suite import SuiteConfig, run_suite
+    from logdata_anomaly_miner_spark.datagen import gen_documents, gen_media
+
+    docs = gen_documents(spark, n_docs=5000, dup_rate=0.01, dangling_rate=0.05)
+    media = gen_media(spark, 1000)
+    res = run_suite(spark, docs, media, SuiteConfig(entropy_prob_thresh=0.0))
+    return res.verdicts.select(
+        "partition", "suite", F.col("n_violations").cast("long").alias("n_violations"), "pass"
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (scale path) — rows-only check: recall vs the exact
     oracle is < 1 by construction, so no SQL oracle is registered."""
@@ -508,6 +537,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_sigs": q_minhash_sigs,
     "simhash_bits": q_simhash_bits,
     "jaccard_pairs": q_jaccard_pairs,
+    "lsh_pairs": q_lsh_pairs,
+    "suite_verdicts": q_suite_verdicts,
     "near_dup_cos": q_near_dup_cos,
     "lang_scores": q_lang_scores,
     "ann_lsh": q_ann_lsh,
@@ -734,6 +765,28 @@ SELECT i.id_a, i.id_b,
        round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
 FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= 0.2
+""",
+    "lsh_pairs": """
+WITH toks AS (SELECT doc_id,
+  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                   '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+grams AS (SELECT doc_id,
+  CASE WHEN len(t) >= 3
+       THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks),
+ex AS (SELECT doc_id, unnest(g) AS sh FROM grams),
+seeded AS (SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || ':' || sh) AS h
+           FROM ex CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s),
+sig AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+banded AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                  md5(string_agg(minhash, '|' ORDER BY minhash)) AS bucket
+           FROM sig GROUP BY 1, 2)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
 """,
     "near_dup_cos": """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS le

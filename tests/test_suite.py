@@ -66,6 +66,30 @@ def test_suite_with_baselines_quiet(spark):
     assert res.verdicts.filter("pass = false").count() == 0
 
 
+def test_suite_drift_verdict_attribution(spark):
+    """A snapshot-level drift failure must land in per-partition verdicts."""
+    docs = gen_documents(spark, n_docs=500, dup_rate=0.0, dangling_rate=0.0)
+    media = gen_media(spark, 1000)
+    flat = explode_spans(docs)
+    known = flat.select("kind", "text").dropDuplicates()
+    # baseline histogram wildly different from actual text lengths -> PSI fail
+    kinds = [r["kind"] for r in flat.select("kind").distinct().collect()]
+    baseline_hist = spark.createDataFrame(
+        [(k, 9, 1000) for k in kinds], "kind string, bucket long, cnt long"
+    )
+    from logdata_anomaly_miner_spark.constraints.suite import SuiteConfig, run_suite
+
+    res = run_suite(
+        spark, docs, media,
+        SuiteConfig(known_kind_text=known, entropy_prob_thresh=0.0,
+                    baseline_hist=baseline_hist),
+    )
+    drift_verdicts = res.verdicts.filter("suite = 'drift'").collect()
+    assert len(drift_verdicts) > 0
+    assert all(not r["pass"] for r in drift_verdicts)
+    assert all(r["partition"] is not None for r in drift_verdicts)
+
+
 def test_checkpoint_manifest(spark):
     with tempfile.TemporaryDirectory() as d:
         m = CheckpointManifest(spark, f"{d}/manifest")
