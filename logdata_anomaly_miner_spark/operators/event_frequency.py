@@ -166,6 +166,87 @@ def check_event_frequency(
     )
 
 
+def frequency_bands_seasonal(
+    counts: DataFrame,
+    key_cols: Sequence[str],
+    num_windows: int,
+    confidence_factor: float,
+    lookback: int,
+) -> DataFrame:
+    """Seasonal variant (reference calculate_range :366-378 with
+    season/lookback): history is DIFFERENCED at the seasonal lag
+    (d_w = cnt_w − cnt_{w−lookback}), the band is
+
+        mean(diffs) + season_offset ± std(diffs)/cf
+
+    where season_offset = mean of past counts at the same seasonal index
+    (w ≡ current w  mod lookback). All window frames per key — one sort."""
+    cf = float(confidence_factor)
+    w_ord = Window.partitionBy(*key_cols).orderBy("w")
+    with_diff = counts.withColumn(
+        "_diff", F.col("cnt") - F.lag("cnt", lookback).over(w_ord)
+    )
+    hist = w_ord.rowsBetween(-num_windows, -1)
+    # seasonal mean: all PAST counts in the same seasonal slot (w mod lookback)
+    w_slot = (
+        Window.partitionBy(*key_cols, F.pmod(F.col("w"), F.lit(lookback)))
+        .orderBy("w")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        with_diff.withColumn("mean_d", F.avg("_diff").over(hist))
+        .withColumn("std_d", F.stddev_pop("_diff").over(hist))
+        .withColumn("n_hist", F.count("_diff").over(hist))
+        .withColumn("season_offset", F.avg("cnt").over(w_slot))
+    )
+    lower = F.col("mean_d") + F.col("season_offset") - F.col("std_d") / F.lit(cf)
+    upper = F.col("mean_d") + F.col("season_offset") + F.col("std_d") / F.lit(cf)
+    return out.withColumn("lower", lower).withColumn("upper", upper)
+
+
+def check_early_exceeding(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    window_size: float,
+    num_windows: int,
+    confidence_factor: float,
+    ts_col: str = "ts",
+    t0: float | None = None,
+) -> DataFrame:
+    """early_exceeding_anomaly_output (reference :264-302): the FIRST event
+    within a window at which the key's running count already exceeds the
+    band's upper limit — an alarm raised mid-window instead of at close.
+
+    Batch shape: cumulative count per (key, w) ordered by event time; join
+    the (key, w) upper bounds; keep the first crossing row per (key, w)."""
+    ts = F.col(ts_col).cast("double")
+    src = df
+    if t0 is None:
+        t0_df = src.agg(F.min(ts).alias("_t0"))
+        work = src.crossJoin(F.broadcast(t0_df))
+        anchor = F.col("_t0")
+    else:
+        work = src
+        anchor = F.lit(float(t0))
+    with_w = work.withColumn("w", F.floor((ts - anchor) / F.lit(float(window_size))))
+    counts = anchored_window_counts(src, key_cols, window_size, ts_col, t0=t0)
+    banded = frequency_bands(counts, key_cols, num_windows, confidence_factor)
+    bounds = banded.filter(F.col("n_hist") >= 1).select(*key_cols, "w", "upper")
+    run = Window.partitionBy(*key_cols, "w").orderBy(ts).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = with_w.withColumn("running_cnt", F.count(F.lit(1)).over(run))
+    crossed = cum.join(bounds, [*key_cols, "w"]).filter(
+        F.col("running_cnt") > F.col("upper")
+    )
+    first = Window.partitionBy(*key_cols, "w").orderBy(ts)
+    return (
+        crossed.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def empty_window_gaps(
     df: DataFrame, window_size: float, ts_col: str = "ts", t0: float | None = None
 ) -> DataFrame:
