@@ -409,26 +409,29 @@ def q_simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logdata_anomaly_miner_spark.functions.dedup import all_pairs, ngram_jaccard_pairs
+    """MinHash-LSH candidates verified with exact n-gram Jaccard — the
+    dedup scale pipeline end-to-end (candidates ∝ true near-dups, never the
+    all-pairs product). The oracle replicates the identical deterministic
+    banding + verification."""
+    from logdata_anomaly_miner_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
 
     docs = _read(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, all_pairs(docs), "doc_id", "text", 3, 0.2)
+    sig = minhash_signatures(docs, "doc_id", "text", n_hashes=16, shingle_k=3)
+    cand = lsh_candidate_pairs(sig, "doc_id", bands=4, rows_per_band=4)
+    pairs = ngram_jaccard_pairs(docs, cand, "doc_id", "text", 3, 0.2)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_near_dup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logdata_anomaly_miner_spark.functions.similarity import _dot, _norm2
+    from logdata_anomaly_miner_spark.functions.similarity import exact_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    sim = _dot(F.col("va"), F.col("vb")) / F.sqrt(_norm2(F.col("va")) * _norm2(F.col("vb")))
-    return (
-        pairs.withColumn("cosine", F.round(sim, 9))
-        .filter(F.col("cosine") >= 0.45)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-    )
+    out = exact_near_dup_pairs(spark, emb, "embedding", "vec_id", 0.45)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def q_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,8 +761,18 @@ grams AS (SELECT doc_id,
   FROM toks),
 sizes AS (SELECT doc_id, len(g) AS n FROM grams),
 ex AS (SELECT doc_id, unnest(g) AS sh FROM grams),
+seeded AS (SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || ':' || sh) AS h
+           FROM ex CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s),
+sig AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+banded AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                  md5(string_agg(minhash, '|' ORDER BY minhash)) AS bucket
+           FROM sig GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
           FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
           GROUP BY 1, 2)
 SELECT i.id_a, i.id_b,
        round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) AS jaccard

@@ -112,29 +112,41 @@ def lsh_candidate_pairs(
 
 def ngram_jaccard_pairs(
     df: DataFrame,
-    candidates: DataFrame,
+    candidates: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact Jaccard over shingle sets for candidate pairs; keeps pairs with
-    similarity ≥ threshold. |∩| via explode+join, |∪| = |A|+|B|−|∩|."""
+    """Exact Jaccard over shingle sets; keeps pairs with similarity ≥
+    threshold. |∩| via the shingle **inverted index** (self-join on gram):
+    only pairs that actually share a shingle ever materialize — never the
+    all-pairs cross product. Pass ``candidates`` (e.g. LSH pairs) to restrict
+    further; None scans the full index (exact, still sub-quadratic for
+    natural shingle distributions)."""
     sh = df.select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("sh")
     )
     sizes = sh.select("_id", F.size("sh").alias("n"))
     ex = sh.select("_id", F.explode("sh").alias("g"))
-    # intersection counts via join on gram
-    inter = (
-        candidates.join(ex.withColumnRenamed("_id", "id_a"), "id_a")
-        .join(
-            ex.select(F.col("_id").alias("id_b"), F.col("g")),
-            ["id_b", "g"],
+    if candidates is None:
+        # full inverted index: every shingle-sharing pair, exact
+        inter = (
+            ex.select(F.col("_id").alias("id_a"), "g")
+            .join(ex.select(F.col("_id").alias("id_b"), "g"), "g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    else:
+        # candidate-restricted: join grams onto the (small) candidate set so
+        # the shingle join never expands beyond |candidates| × |grams/doc|
+        inter = (
+            candidates.join(ex.withColumnRenamed("_id", "id_a"), "id_a")
+            .join(ex.select(F.col("_id").alias("id_b"), F.col("g")), ["id_b", "g"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     return (
         inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
         .join(sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
@@ -164,14 +176,17 @@ def simhash64(
         F.explode(F.array(*[F.lit(i) for i in range(64)])).alias("bit"),
         F.col("h"),
     ).withColumn(
+        # Python-API shiftright needs a literal count; SQL accepts columns
         "contrib",
-        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"),
     )
     agg = bits.groupBy("_id", "bit").agg(F.sum("contrib").alias("s"))
     return (
         agg.withColumn(
             "bitval",
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(0),
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            ),
         )
         .groupBy("_id")
         .agg(F.sum("bitval").cast("long").alias("simhash"))
@@ -236,9 +251,7 @@ def simhash_near_dups(
         F.col(id_col).alias("_id"),
         F.col("simhash"),
         F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("chunk"),
-    ).withColumn(
-        "key", F.shiftright(F.col("simhash"), F.col("chunk") * 16).bitwiseAND(F.lit(0xFFFF))
-    )
+    ).withColumn("key", F.expr("shiftright(simhash, chunk * 16) & 65535"))
     a = chunks.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "key")
     b = chunks.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "key")
     return (

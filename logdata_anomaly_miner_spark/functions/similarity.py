@@ -113,6 +113,59 @@ def lsh_bucket_topk(
     return cosine_topk(cands, vec_col, query, k, id_col)
 
 
+def exact_near_dup_pairs(
+    spark,
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold, two-phase for speed + value
+    determinism:
+
+    1. BLAS prefilter: broadcast the (n×d float64) matrix; one mapInPandas
+       pass computes each row-block × matrixᵀ and emits candidate pairs
+       above (threshold − slack) — 10⁹ FLOPs/sec-class instead of an
+       expression cross-join.
+    2. Exact re-check: the (few) candidates get their cosine recomputed with
+       the same sequential zip_with/aggregate expression the SQL oracle
+       uses, so reported values are bit-consistent with it (BLAS summation
+       order differs in ulps; it only gates candidates, with slack).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows])
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    slack = 1e-6
+
+    def fn(batches):
+        ids_all, m_all, n_all = bc.value
+        pos = {int(i): k for k, i in enumerate(ids_all)}
+        for pdf in batches:
+            idx = np.array([pos[int(i)] for i in pdf[id_col]])
+            block = m_all[idx]
+            sims = (block @ m_all.T) / (n_all[idx][:, None] * n_all[None, :])
+            ai, bj = np.nonzero(sims >= threshold - slack)
+            ia, ib = ids_all[idx[ai]], ids_all[bj]
+            keep = ia < ib
+            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+
+    cand = df.select(id_col).mapInPandas(fn, schema="id_a long, id_b long")
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+    sim = _dot(F.col("va"), F.col("vb")) / F.sqrt(_norm2(F.col("va")) * _norm2(F.col("vb")))
+    return (
+        pairs.withColumn("cosine", F.round(sim, 9))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1,0 +1,102 @@
+"""Unit tests for dedup / similarity / text-analysis functions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logdata_anomaly_miner_spark.functions.dedup import (
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dups,
+)
+from logdata_anomaly_miner_spark.functions.similarity import (
+    cosine_topk,
+    exact_near_dup_pairs,
+    lsh_bucket_topk,
+)
+from logdata_anomaly_miner_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    token_count,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),       # exact dup of 1
+    (3, "The quick brown fox jumps over the lazy dog!!"),     # normalized dup of 1
+    (4, "the quick brown fox leaps over the lazy dog"),       # near dup (1 word)
+    (5, "completely different text about spark dataframes here"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dup_groups(spark):
+    out = exact_dup_groups(_docs(spark), "doc_id", "text").collect()
+    assert len(out) == 1
+    assert sorted(out[0]["doc_ids"]) == [1, 2, 3]  # normalization folds 3 in
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    sig = minhash_signatures(_docs(spark), "doc_id", "text", n_hashes=16, shingle_k=3)
+    assert sig.count() == 5 * 16
+    # identical docs share identical signatures
+    s = {(r["doc_id"], r["seed"]): r["minhash"] for r in sig.collect()}
+    assert all(s[(1, k)] == s[(2, k)] for k in range(16))
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sig, "doc_id").collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(5 in p for p in pairs)
+    # the jaccard~0.4 pair (1,4) is below these banding parameters' reliable
+    # recall (sim^rows per band) — the exact inverted-index path finds it:
+    verified = ngram_jaccard_pairs(_docs(spark), None, "doc_id", "text", 3, 0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.3 <= got[(1, 4)] < 1.0
+
+
+def test_simhash_near_dups(spark):
+    sim = simhash64(_docs(spark), "doc_id", "text")
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert vals[1] == vals[2]
+    nd = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dups(sim, max_hamming=10).collect()}
+    assert nd[(1, 2)] == 0
+    assert (1, 4) in nd  # near dup within hamming 10
+    assert not any(5 in p for p in nd)
+
+
+def test_cosine_topk_and_lsh(spark):
+    rows = [(i, [1.0, 0.0] if i < 3 else [0.0, 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = cosine_topk(df, "embedding", [1.0, 0.0], k=3)
+    assert [r["vec_id"] for r in top.collect()] == [0, 1, 2]
+    assert all(r["cosine"] == 1.0 for r in top.collect())
+    lsh = lsh_bucket_topk(df, "embedding", [1.0, 0.0], k=3, n_planes=6)
+    assert {r["vec_id"] for r in lsh.collect()} <= {0, 1, 2}
+
+
+def test_exact_near_dup_pairs_blas(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.0, 1.0]), (3, [0.01, 0.999])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           exact_near_dup_pairs(spark, df, threshold=0.9).collect()}
+    assert set(out) == {(0, 1), (2, 3)}
+    assert all(v > 0.99 for v in out.values())
+
+
+def test_token_counts_and_fingerprint(spark):
+    df = spark.createDataFrame([("hello world, 42 times!",)], "text string")
+    r = df.select(
+        token_count(F.col("text")).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()[0]
+    assert r["ws"] == 4            # hello / world, / 42 / times!
+    assert r["bpe"] == 6           # hello world , 42 times !
+    want = sum(ord(c) * (i + 1) for i, c in enumerate("hello world, 42 times!")) % 1_000_000_007
+    assert r["fp"] == want
