@@ -128,6 +128,16 @@ def q_freq_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_freq_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EventFrequencyDetector unique_path_list mode (:320-328): count
+    DISTINCT users per (event_type, window) instead of occurrences."""
+    ev = _events(spark, sf_dir)
+    counts = anchored_window_counts(
+        ev, ["event_type"], 3600.0, ts_col="es", unique_cols=["user_id"]
+    )
+    return counts.select("event_type", "w", F.col("cnt").cast("long").alias("cnt"))
+
+
 def q_sliding_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     v = check_sliding_frequency(
@@ -550,6 +560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_range": q_value_range,
     "freq_counts": q_freq_counts,
     "freq_bands": q_freq_bands,
+    "freq_unique": q_freq_unique,
     "sliding_freq": q_sliding_freq,
     "seq_ngrams": q_seq_ngrams,
     "missing_values": q_missing_values,
@@ -884,6 +895,20 @@ SELECT event_type, w, cnt,
        round(mean - s/0.51, 6) AS lower, round(mean + s/0.51, 6) AS upper
 FROM f
 WHERE w < wm AND n_hist >= 1 AND (cnt < mean - s/0.51 OR cnt > mean + s/0.51)
+""",
+    "freq_unique": """
+WITH t0 AS (SELECT min(epoch_us(ts)/1000000.0) AS t0 FROM events),
+c AS (SELECT event_type,
+             CAST(floor((epoch_us(ts)/1000000.0 - t0)/3600.0) AS BIGINT) AS w,
+             count(DISTINCT user_id) AS cnt
+      FROM events CROSS JOIN t0 GROUP BY 1, 2),
+k AS (SELECT event_type, min(w) AS w0 FROM c GROUP BY 1),
+g AS (SELECT max(w) AS wm FROM c),
+spine AS (SELECT k.event_type, gs.w FROM k CROSS JOIN g
+          CROSS JOIN (SELECT unnest(generate_series(0, (SELECT wm FROM g))) AS w) gs
+          WHERE gs.w >= k.w0)
+SELECT s.event_type, s.w, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.w = s.w
 """,
     "sliding_freq": """
 WITH s AS (
