@@ -125,6 +125,40 @@ def test_streaming_window_counts(spark):
         assert {r["k"] for r in rows} == {"a", "b"}
 
 
+def test_streaming_counts_equal_batch_when_aligned(spark):
+    """When the first atom falls on a calendar boundary, the streaming
+    (calendar) windows coincide with the batch anchored windows — the
+    documented deviation vanishes and counts must agree exactly."""
+    from logdata_anomaly_miner_spark.operators.event_frequency import (
+        anchored_window_counts,
+    )
+    from logdata_anomaly_miner_spark.streaming.frequency import streaming_window_counts
+
+    t0 = 1_700_000_000.0  # multiple of 10 -> aligned for 10s windows
+    rows = [(t0 + o, "a" if i % 3 else "b") for i, o in enumerate(
+        [0.0, 1.5, 9.9, 10.0, 12.2, 25.0, 31.4, 31.5, 47.0])]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "ts double, k string").write.parquet(f"{d}/in")
+        stream = spark.readStream.schema("ts double, k string").parquet(f"{d}/in")
+        q = (
+            streaming_window_counts(stream, ["k"], window_size_s=10.0)
+            .writeStream.format("memory").queryName("aligned_counts")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        got_stream = {
+            (r["k"], int(r["win_start"].timestamp() - t0) // 10): r["cnt"]
+            for r in spark.sql("select * from aligned_counts").collect()
+        }
+    batch = anchored_window_counts(
+        spark.createDataFrame(rows, "ts double, k string"), ["k"], 10.0
+    )
+    got_batch = {
+        (r["k"], r["w"]): r["cnt"] for r in batch.filter("cnt > 0").collect()
+    }
+    assert got_stream == got_batch
+
+
 def test_streaming_new_values(spark):
     from logdata_anomaly_miner_spark.streaming.state import streaming_new_values
 
