@@ -40,9 +40,14 @@ class SpecError(ValueError):
 def validate_spec(spec: dict[str, Any] | None) -> dict[str, Any]:
     """Validate + normalize (defaults) a suite spec dict."""
     spec = dict(spec or {})
+    had_suite = "suite" in spec
     suite = dict(spec.pop("suite", spec))
-    if spec and "suite" in spec:
-        raise SpecError("top level must be the suite mapping")
+    if had_suite and spec:
+        # 'suite' was given alongside other top-level keys — fail fast
+        # instead of silently ignoring them.
+        raise SpecError(
+            f"top level must be the suite mapping; stray keys: {sorted(spec)}"
+        )
     unknown = set(suite) - set(_DEFAULTS)
     if unknown:
         raise SpecError(f"unknown suite keys: {sorted(unknown)}")

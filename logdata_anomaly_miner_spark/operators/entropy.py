@@ -41,15 +41,24 @@ def _bigram_pairs(value: Column) -> Column:
     """array<struct<first:int,second:int>> of the len+1 bigram code pairs,
     including virtual start/end. Pure expression — no UDF.
 
+    Codes are UTF-8 **bytes** (0-255), matching the reference EntropyDetector
+    (which iterates ``bytes(value)``) and ``score_entropy_pandas``. Extracted
+    via hex(encode(v)) → 2-char chunks → conv(,16,10): every code is < 256 by
+    construction, so the 257×257 probability matrix can never overflow.
+
     Implementation note: built with zip_with over two slices of the padded
     code array. The tempting alternative — transform(sequence(0, n-2),
     i -> element_at(padded, i)) — re-evaluates the `padded` expression for
     every element (no common-subexpression elimination inside lambda
     bodies), turning the row cost quadratic in string length; zip_with
     evaluates each input array once."""
+    hexstr = F.hex(F.encode(value, "UTF-8"))
     codes = F.when(
         F.length(value) > 0,
-        F.transform(F.split(value, ""), lambda c: F.ascii(c)),  # chars -> codes
+        F.transform(
+            F.regexp_extract_all(hexstr, F.lit("(..)"), 1),
+            lambda h: F.conv(h, 16, 10).cast("int"),
+        ),
     ).otherwise(F.array().cast("array<int>"))
     # prepend/append the virtual char code; empty value -> single (256,256) pair
     padded = F.concat(
@@ -123,7 +132,8 @@ def freq_matrix(freq: DataFrame) -> np.ndarray:
     Probability matrix P[first,second] = cnt/total[first] (0 where unseen)."""
     m = np.zeros((257, 257), dtype=np.float64)
     for r in freq.collect():
-        m[r["first"], r["second"]] = r["cnt"]
+        if r["first"] <= VIRTUAL and r["second"] <= VIRTUAL:  # guard stale
+            m[r["first"], r["second"]] = r["cnt"]             # codepoint rows
     totals = m.sum(axis=1, keepdims=True)
     with np.errstate(invalid="ignore", divide="ignore"):
         p = np.where(totals > 0, m / np.where(totals == 0, 1, totals), 0.0)

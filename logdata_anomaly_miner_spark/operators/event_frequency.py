@@ -149,10 +149,14 @@ def check_event_frequency(
     banded = frequency_bands(
         counts, key_cols, num_windows, confidence_factor, set_lower_limit, set_upper_limit
     )
+    checked = banded.filter(F.col("w") < F.col("w_last"))
+    # Reference :213-216 skips keys with <2 windows ONLY when a limit is
+    # unset; with BOTH limits given even a key's first closed window is
+    # checked against the fixed [lower, upper].
+    if set_lower_limit is None or set_upper_limit is None:
+        checked = checked.filter(F.col("n_hist") >= 1)
     return (
-        banded.filter(F.col("w") < F.col("w_last"))
-        .filter(F.col("n_hist") >= 1)
-        .filter((F.col("cnt") < F.col("lower")) | (F.col("cnt") > F.col("upper")))
+        checked.filter((F.col("cnt") < F.col("lower")) | (F.col("cnt") > F.col("upper")))
         .withColumn(
             "detail",
             F.to_json(
@@ -173,35 +177,81 @@ def frequency_bands_seasonal(
     confidence_factor: float,
     lookback: int,
 ) -> DataFrame:
-    """Seasonal variant (reference calculate_range :366-378 with
-    season/lookback): history is DIFFERENCED at the seasonal lag
-    (d_w = cnt_w − cnt_{w−lookback}), the band is
+    """Seasonal variant — exact re-expression of reference calculate_range
+    (:361-399) with season/lookback set, including the bounded-deque
+    semantics of reset_counter (:340-347, counts list truncated to
+    num_windows+2 entries):
 
-        mean(diffs) + season_offset ± std(diffs)/cf
+    - **gate** (:367): the differenced path is taken iff
+      ``len(counts) > lookback + 2`` where ``len(counts)`` is the TRUNCATED
+      list length ``min(n_hist+1, num_windows+2)``; otherwise the band is
+      the plain (non-seasonal) trailing history.
+    - **diff history** (:373-374 + slice :385): diffs
+      d_w = cnt_w − cnt_{w−lookback} for retained indices, excluding the
+      most recent diff ⇒ rows frame (−(num_windows+1−lookback), −2); diffs
+      before the key's lookback-th window are null and ignored by avg/std.
+    - **season_offset** (:375-378): mean of retained PAST counts in the
+      same seasonal slot. time_index increments by 1 mod lookback per
+      window (:352), so slot equality ⟺ w ≡ current w (mod lookback); the
+      retained list bounds matching rows to the trailing
+      floor((num_windows+1)/lookback) slot rows.
+    - **std fallback** (:386-390): when the diff slice has ≤1 element, std
+      falls back to mean(RAW counts trailing slice) * (1 − cf) — raw counts
+      even on the seasonal path.
 
-    where season_offset = mean of past counts at the same seasonal index
-    (w ≡ current w  mod lookback). All window frames per key — one sort."""
+    All window frames per key — one sort. Adds n_hist, season_offset,
+    lower, upper columns."""
     cf = float(confidence_factor)
+    lb = int(lookback)
     w_ord = Window.partitionBy(*key_cols).orderBy("w")
     with_diff = counts.withColumn(
-        "_diff", F.col("cnt") - F.lag("cnt", lookback).over(w_ord)
+        "_diff", F.col("cnt") - F.lag("cnt", lb).over(w_ord)
     )
-    hist = w_ord.rowsBetween(-num_windows, -1)
-    # seasonal mean: all PAST counts in the same seasonal slot (w mod lookback)
+    hist_plain = w_ord.rowsBetween(-num_windows, -1)
+    # When lb >= num_windows the gate (len > lb+2 with len capped at
+    # num_windows+2) can never pass, so the diff frame is unused — but it
+    # must still be a valid (lo <= hi) frame for the analyzer.
+    diff_frame = w_ord.rowsBetween(min(-(num_windows + 1 - lb), -2), -2)
+    slot_rows = max(1, (num_windows + 1) // lb)
     w_slot = (
-        Window.partitionBy(*key_cols, F.pmod(F.col("w"), F.lit(lookback)))
+        Window.partitionBy(*key_cols, F.pmod(F.col("w"), F.lit(lb)))
         .orderBy("w")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(-slot_rows, -1)
     )
     out = (
-        with_diff.withColumn("mean_d", F.avg("_diff").over(hist))
-        .withColumn("std_d", F.stddev_pop("_diff").over(hist))
-        .withColumn("n_hist", F.count("_diff").over(hist))
+        with_diff
+        .withColumn(
+            "n_hist",
+            F.count("cnt").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn("mean_plain", F.avg("cnt").over(hist_plain))
+        .withColumn("std_plain", F.stddev_pop("cnt").over(hist_plain))
+        .withColumn("n_plain", F.count("cnt").over(hist_plain))
+        .withColumn("mean_d", F.avg("_diff").over(diff_frame))
+        .withColumn("std_d", F.stddev_pop("_diff").over(diff_frame))
+        .withColumn("n_d", F.count("_diff").over(diff_frame))
         .withColumn("season_offset", F.avg("cnt").over(w_slot))
     )
-    lower = F.col("mean_d") + F.col("season_offset") - F.col("std_d") / F.lit(cf)
-    upper = F.col("mean_d") + F.col("season_offset") + F.col("std_d") / F.lit(cf)
-    return out.withColumn("lower", lower).withColumn("upper", upper)
+    seasonal = (
+        F.least(F.col("n_hist") + 1, F.lit(num_windows + 2)) > F.lit(lb + 2)
+    )
+    mean = F.when(seasonal, F.col("mean_d")).otherwise(F.col("mean_plain"))
+    n_used = F.when(seasonal, F.col("n_d")).otherwise(F.col("n_plain"))
+    std = F.when(
+        n_used > 1,
+        F.when(seasonal, F.col("std_d")).otherwise(F.col("std_plain")),
+    ).otherwise(F.col("mean_plain") * F.lit(1.0 - cf))
+    offset = F.when(seasonal, F.col("season_offset")).otherwise(F.lit(0.0))
+    out = out.withColumn(
+        "season_offset", F.when(seasonal, F.col("season_offset")).otherwise(F.lit(0.0))
+    )
+    lower = mean + offset - std / F.lit(cf)
+    upper = mean + offset + std / F.lit(cf)
+    return (
+        out.withColumn("lower", lower)
+        .withColumn("upper", upper)
+        .drop("mean_plain", "std_plain", "n_plain", "n_d")
+    )
 
 
 def check_early_exceeding(

@@ -132,10 +132,17 @@ def check_new_id_combos(
     """NewMatchIdValueComboDetector: combos are assembled **across rows**
     sharing an id (the reference's only join-like operator, reference
     :30-273) — we take the first non-null value per path per id in event
-    order, then novelty-check the assembled combo."""
+    order, then novelty-check the assembled combo.
+
+    'First in event order' is computed as min(struct(ts, value)) over the
+    non-null rows per path — deterministic across partitioning and task
+    retries (F.first(ignorenulls=True) depends on partition arrival order);
+    ties on ts break by value, still deterministic."""
     agg = df.groupBy(id_col).agg(
         *[
-            F.first(c, ignorenulls=True).alias(c)
+            F.min(
+                F.when(F.col(c).isNotNull(), F.struct(F.col(ts_col), F.col(c)))
+            )[c].alias(c)
             for c in value_cols
         ],
         F.min(ts_col).alias("ts"),

@@ -26,6 +26,8 @@ def test_overrides_merge():
 def test_unknown_keys_fail():
     with pytest.raises(SpecError, match="unknown suite keys"):
         validate_spec({"suite": {"nope": 1}})
+    with pytest.raises(SpecError, match="stray keys"):
+        validate_spec({"suite": {}, "extra": 1})
     with pytest.raises(SpecError, match="unknown entropy keys"):
         validate_spec({"suite": {"entropy": {"threshold": 1}}})
     with pytest.raises(SpecError, match="unknown checks"):

@@ -75,6 +75,50 @@ def test_sequential_parity_scores(spark, which):
     assert [v for v, s in zip(VALUES, got) if s < 0.1] == ["aminer", "austrian", "lfmvasacz"]
 
 
+def test_non_ascii_utf8_byte_parity(spark):
+    """Learner + both scorers must agree on UTF-8 BYTES for non-ASCII text,
+    matching the reference's bytes() iteration (EntropyDetector.py:128-145).
+    'café' is 5 bytes (c3 a9 for é) -> 6 bigram pairs; codepoint-based code
+    would see 4 chars / 5 pairs and a code 233 ≠ bytes {0xc3, 0xa9}."""
+    learn_df = spark.createDataFrame([("café",), ("中caf",)], "value string")
+    freq, _ = learn_bigram_freq(learn_df, "value")
+    rows = freq.collect()
+    assert all(r["first"] <= 256 and r["second"] <= 256 for r in rows)
+    # café -> 6 pairs, 中caf -> 3 utf-8 bytes + 3 ascii = 7 pairs
+    assert sum(r["cnt"] for r in rows) == 6 + 7
+    # (0xc3, 0xa9) must be a learned pair (the two bytes of é)
+    assert any(r["first"] == 0xC3 and r["second"] == 0xA9 for r in rows)
+    score_df = spark.createDataFrame([("café",), ("中caf",), ("xyz",)], "value string")
+    got_expr = {
+        r["value"]: r["critical_val"]
+        for r in score_entropy_expr(score_df, "value", freq).collect()
+    }
+    got_pd = {
+        r["value"]: r["critical_val"]
+        for r in score_entropy_pandas(spark, score_df, "value", freq).collect()
+    }
+    # independent plain-Python byte oracle
+    tab: dict[tuple[int, int], int] = {}
+    tot: dict[int, int] = {}
+    for v in ["café", "中caf"]:
+        b = v.encode()
+        for i in range(-1, len(b)):
+            f = b[i] if i != -1 else 256
+            s = b[i + 1] if i != len(b) - 1 else 256
+            tab[(f, s)] = tab.get((f, s), 0) + 1
+            tot[f] = tot.get(f, 0) + 1
+    for v in ["café", "中caf", "xyz"]:
+        b = v.encode()
+        probs = []
+        for i in range(-1, len(b)):
+            f = b[i] if i != -1 else 256
+            s = b[i + 1] if i != len(b) - 1 else 256
+            probs.append(tab.get((f, s), 0) / tot[f] if f in tot else 0.0)
+        want = sum(probs) / len(probs)
+        assert got_expr[v] == pytest.approx(want, abs=1e-12), v
+        assert got_pd[v] == pytest.approx(want, abs=1e-12), v
+
+
 def test_check_entropy_filter(spark):
     df = spark.createDataFrame(
         [("a", 0.04), ("b", 0.06)], "value string, critical_val double"

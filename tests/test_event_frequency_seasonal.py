@@ -45,6 +45,75 @@ def test_seasonal_band_flags_broken_season(spark):
     assert r9["lower"] <= r9["cnt"] <= r9["upper"]
 
 
+def _ref_seasonal_bands(seq, num_windows, cf, lookback):
+    """Count-level simulator of the reference's calculate_range loop
+    (EventFrequencyDetector.py:361-399) including reset_counter's bounded
+    list (:340-347, retained length num_windows+2). Returns {w: (lo, hi)}
+    for every window with len(counts) >= 2."""
+    from statistics import mean, pstdev
+
+    counts: list[int] = []
+    out = {}
+    for w, c in enumerate(seq):
+        counts.append(c)
+        if len(counts) > num_windows + 2:
+            counts = counts[1:]
+        if len(counts) < 2:
+            continue
+        season_offset = 0.0
+        L = len(counts)
+        if lookback is not None and L > lookback + 2:
+            counts_tmp, season_list = [], []
+            for i in range(0, L - 1):
+                if i >= lookback:
+                    counts_tmp.append(counts[i] - counts[i - lookback])
+                if (i - (L - 1)) % lookback == 0:
+                    season_list.append(counts[i])
+            season_offset = mean(season_list)
+        else:
+            counts_tmp = counts[:]
+        sl = counts_tmp[-num_windows - 1:-1]
+        if not sl:
+            continue
+        m = mean(sl)
+        if len(sl) > 1:
+            s = pstdev(sl)
+        else:
+            s2 = counts[-num_windows - 1:-1]
+            s = mean(s2) * (1 - cf)
+        out[w] = (m + season_offset - s / cf, m + season_offset + s / cf)
+    return out
+
+
+@pytest.mark.parametrize(
+    "num_windows,lookback", [(8, 2), (6, 3), (5, 5), (10, 4), (4, 2)]
+)
+def test_seasonal_bands_match_reference_simulator(spark, num_windows, lookback):
+    """Randomized (seeded) count sequence; every closed window's band must
+    equal the sequential reference loop's, including after the retained
+    list starts truncating (w > num_windows+2) and for lookback==num_windows
+    (gate permanently closed by truncation)."""
+    import random
+
+    rng = random.Random(42 + num_windows * 100 + lookback)
+    seq = [rng.randrange(0, 9) for _ in range(30)]
+    cf = 0.5
+    df = spark.createDataFrame(
+        [("a", w, c) for w, c in enumerate(seq)], "k string, w long, cnt long"
+    )
+    banded = frequency_bands_seasonal(df, ["k"], num_windows, cf, lookback)
+    got = {
+        r["w"]: (r["lower"], r["upper"])
+        for r in banded.collect()
+        if r["lower"] is not None
+    }
+    want = _ref_seasonal_bands(seq, num_windows, cf, lookback)
+    assert set(got) == set(want)
+    for w in want:
+        assert got[w][0] == pytest.approx(want[w][0], abs=1e-9), (w, "lower")
+        assert got[w][1] == pytest.approx(want[w][1], abs=1e-9), (w, "upper")
+
+
 def test_early_exceeding_first_crossing(spark):
     """History of 2-event windows; a burst window gets flagged at the first
     event whose running count crosses the upper band — not at window close."""
