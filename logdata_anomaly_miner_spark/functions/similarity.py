@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -48,16 +48,31 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact top-k by cosine; deterministic tie-break on id. The global
-    row_number is a single-reducer sort of |rows| — fine for re-ranked
-    candidate sets; for full-table top-k at scale Spark's sort-based
-    TakeOrderedAndProject handles it as map-side partial top-k."""
+    """Exact top-k by cosine; deterministic tie-break on id.
+
+    orderBy().limit(k) compiles to TakeOrderedAndProject — each task keeps
+    a local top-k heap and only k rows per task reach the driver-side
+    merge, so the full table is never globally sorted (and no
+    single-partition WindowExec appears in the plan). Ranks are then
+    numbered by packing the k survivors into one sorted array
+    (sort_array + posexplode) — an aggregation, not a window."""
     scored = with_cosine(df, vec_col, query)
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "cosine", "rank")
+    topk = scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+    packed = topk.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cosine")).alias("_neg"),
+                    F.col(id_col).alias("_id"),
+                    F.col("cosine").alias("_cos"),
+                )
+            )
+        ).alias("_arr")
+    )
+    return packed.select(F.posexplode("_arr").alias("_pos", "_s")).select(
+        F.col("_s._id").alias(id_col),
+        F.col("_s._cos").alias("cosine"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
     )
 
 
@@ -119,45 +134,93 @@ def exact_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.45,
+    n_blocks: int = 8,
+    rows_per_chunk: int = 4096,
 ) -> DataFrame:
-    """EXACT all-pairs cosine ≥ threshold, two-phase for speed + value
-    determinism:
+    """EXACT all-pairs cosine ≥ threshold, fully distributed (no driver
+    collect, no whole-matrix broadcast), two-phase:
 
-    1. BLAS prefilter: broadcast the (n×d float64) matrix; one mapInPandas
-       pass computes each row-block × matrixᵀ and emits candidate pairs
-       above (threshold − slack) — 10⁹ FLOPs/sec-class instead of an
-       expression cross-join.
-    2. Exact re-check: the (few) candidates get their cosine recomputed with
-       the same sequential zip_with/aggregate expression the SQL oracle
-       uses, so reported values are bit-consistent with it (BLAS summation
-       order differs in ulps; it only gates candidates, with slack).
+    1. **Block-pair BLAS prefilter**: rows hash into ``n_blocks`` blocks;
+       each row is replicated to the n_blocks (lo, hi) block pairs it
+       participates in (one shuffle of n·B rows), then one applyInPandas
+       task per block pair computes blockA × blockBᵀ with numpy and emits
+       candidate pairs above (threshold − slack). Peak task memory is
+       2·(n/B)·d·8 bytes + a rows_per_chunk-bounded sims tile — tune
+       n_blocks so a block fits an executor. Exact all-pairs is O(n²)
+       FLOPs by definition; this spreads them over B(B+1)/2 tasks (the
+       sub-quadratic scale path is ``embedding_near_dup_pairs``).
+    2. **Exact re-check**: candidates (broadcast — they are few) join their
+       vectors back and the cosine is recomputed with the same sequential
+       zip_with/aggregate expression the SQL oracle uses, so reported
+       values are bit-consistent with it (BLAS summation order differs in
+       ulps; it only gates candidates, with slack).
+
+    Every unordered pair lands in exactly one block pair, so no
+    dropDuplicates is needed.
     """
     import numpy as np
     import pandas as pd
 
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows])
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    B = max(1, int(n_blocks))
     slack = 1e-6
+    tagged = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
+    )
+    paired = tagged.select(
+        "_id",
+        "_v",
+        "_blk",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("_other"),
+    ).select(
+        "_id",
+        "_v",
+        "_blk",
+        F.least("_blk", "_other").alias("_lo"),
+        F.greatest("_blk", "_other").alias("_hi"),
+    )
 
-    def fn(batches):
-        ids_all, m_all, n_all = bc.value
-        pos = {int(i): k for k, i in enumerate(ids_all)}
-        for pdf in batches:
-            idx = np.array([pos[int(i)] for i in pdf[id_col]])
-            block = m_all[idx]
-            sims = (block @ m_all.T) / (n_all[idx][:, None] * n_all[None, :])
-            ai, bj = np.nonzero(sims >= threshold - slack)
-            ia, ib = ids_all[idx[ai]], ids_all[bj]
-            keep = ia < ib
-            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+    def emit(key, pdf):
+        lo, hi = int(key[0]), int(key[1])
+        ids = pdf["_id"].to_numpy()
+        blk = pdf["_blk"].to_numpy()
+        mat = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        if lo == hi:
+            ia_idx = ib_idx = np.arange(len(ids))
+        else:
+            ia_idx = np.nonzero(blk == lo)[0]
+            ib_idx = np.nonzero(blk == hi)[0]
+        mb, nb, idb = mat[ib_idx], norms[ib_idx], ids[ib_idx]
+        out_a, out_b = [], []
+        for s in range(0, len(ia_idx), rows_per_chunk):
+            ii = ia_idx[s : s + rows_per_chunk]
+            sims = (mat[ii] @ mb.T) / (norms[ii][:, None] * nb[None, :])
+            r, c = np.nonzero(sims >= threshold - slack)
+            a, b = ids[ii[r]], idb[c]
+            if lo == hi:
+                # both sides are the full block: each unordered pair shows
+                # up as (i,j) AND (j,i) — keep the ordered half only
+                keep = a < b
+                out_a.append(a[keep])
+                out_b.append(b[keep])
+            else:
+                # sides are disjoint blocks: each pair appears once —
+                # normalize id order instead of dropping
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
 
-    cand = df.select(id_col).mapInPandas(fn, schema="id_a long, id_b long")
+    cand = paired.groupBy("_lo", "_hi").applyInPandas(emit, "id_a long, id_b long")
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+    pairs = b.join(F.broadcast(a.join(F.broadcast(cand), "id_a")), "id_b")
     sim = _dot(F.col("va"), F.col("vb")) / F.sqrt(_norm2(F.col("va")) * _norm2(F.col("vb")))
     return (
         pairs.withColumn("cosine", F.round(sim, 9))

@@ -10,7 +10,14 @@ Re-expresses:
 
 Ingest order in batch = an explicit order column (event id / file offset).
 The running max is a prefix window — inherently sequential per stream, so
-partition by the stream/source column when there are many streams.
+partition by the stream/source column when there are many streams. When no
+stream column exists (ONE global sequence), a naive window would put every
+row in a single WindowExec partition; instead both operators run a
+**two-phase distributed prefix scan**: range-partition on the order column,
+compute the per-range local prefix (running max / lag), reduce each range
+to one summary row, derive each range's carry-in from the (tiny,
+broadcast) summary table, and combine locally. The summary self-join is
+|ranges|² rows — negligible — and no stage ever sees the whole sequence.
 """
 
 from __future__ import annotations
@@ -21,18 +28,56 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _with_range_bucket(
+    df: DataFrame, order_cols: Sequence[str], num_buckets: int | None
+) -> DataFrame:
+    """Range-partition on the order columns and materialize the partition
+    id: bucket i holds order values strictly below bucket i+1's."""
+    nb = num_buckets or max(
+        2, df.sparkSession.sparkContext.defaultParallelism * 2
+    )
+    return df.repartitionByRange(nb, *[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+
 def unsorted_timestamps(
     df: DataFrame,
     ts_col: str = "ts",
     order_cols: Sequence[str] = ("event_id",),
     stream_cols: Sequence[str] = (),
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Rows whose timestamp is smaller than the previous row's (ingest order)."""
-    w = Window.partitionBy(*stream_cols).orderBy(*[F.col(c) for c in order_cols])
-    prev = F.lag(F.col(ts_col)).over(w)
+    if stream_cols:
+        w = Window.partitionBy(*stream_cols).orderBy(*[F.col(c) for c in order_cols])
+        prev = F.lag(F.col(ts_col)).over(w)
+        return (
+            df.withColumn("prev_ts", prev)
+            .filter(F.col("prev_ts").isNotNull() & (F.col(ts_col) < F.col("prev_ts")))
+        )
+    # Global sequence: per-range lag; each range's first row compares against
+    # the last timestamp (in order) of the nearest preceding non-empty range.
+    d = _with_range_bucket(df, order_cols, num_buckets)
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    d = d.withColumn("_prev_local", F.lag(F.col(ts_col)).over(w))
+    last = d.groupBy("_pid").agg(
+        F.max_by(F.col(ts_col), F.struct(*[F.col(c) for c in order_cols])).alias(
+            "_last_ts"
+        )
+    )
+    carry = (
+        last.alias("a")
+        .join(last.alias("b"), F.col("b._pid") < F.col("a._pid"))
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.max_by(F.col("b._last_ts"), F.col("b._pid")).alias("_carry"))
+    )
+    d = d.join(F.broadcast(carry), "_pid", "left")
+    prev = F.coalesce(F.col("_prev_local"), F.col("_carry"))
     return (
-        df.withColumn("prev_ts", prev)
+        d.withColumn("prev_ts", prev)
         .filter(F.col("prev_ts").isNotNull() & (F.col(ts_col) < F.col("prev_ts")))
+        .drop("_pid", "_prev_local", "_carry")
     )
 
 
@@ -42,12 +87,34 @@ def monotonic_adjust(
     order_cols: Sequence[str] = ("event_id",),
     stream_cols: Sequence[str] = (),
     out_col: str = "ts_adj",
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Adds ``out_col`` = running max of the timestamp in ingest order
     (decreasing timestamps clamped up, reference :18-52)."""
+    if stream_cols:
+        w = (
+            Window.partitionBy(*stream_cols)
+            .orderBy(*[F.col(c) for c in order_cols])
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return df.withColumn(out_col, F.max(F.col(ts_col)).over(w))
+    # Global sequence: local running max per range + max over all earlier
+    # ranges (carry-in), combined with greatest() (null carry for range 0).
+    d = _with_range_bucket(df, order_cols, num_buckets)
     w = (
-        Window.partitionBy(*stream_cols)
+        Window.partitionBy("_pid")
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return df.withColumn(out_col, F.max(F.col(ts_col)).over(w))
+    d = d.withColumn("_local", F.max(F.col(ts_col)).over(w))
+    pid_max = d.groupBy("_pid").agg(F.max(F.col(ts_col)).alias("_pmax"))
+    carry = (
+        pid_max.alias("a")
+        .join(pid_max.alias("b"), F.col("b._pid") < F.col("a._pid"))
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.max("b._pmax").alias("_carry"))
+    )
+    d = d.join(F.broadcast(carry), "_pid", "left")
+    return d.withColumn(
+        out_col, F.greatest(F.col("_local"), F.col("_carry"))
+    ).drop("_pid", "_local", "_carry")

@@ -76,6 +76,38 @@ def test_unsorted_and_adjust(spark):
     assert adj == {1: T0 + 10, 2: T0 + 20, 3: T0 + 20, 4: T0 + 30}
 
 
+def test_global_prefix_scan_multi_bucket(spark):
+    """The distributed two-phase prefix scan (range buckets + carry-in) must
+    equal the sequential semantics across bucket boundaries — randomized
+    sequence, several bucket counts including more buckets than rows."""
+    import random
+
+    rng = random.Random(7)
+    n = 500
+    ts = [1000.0 + rng.uniform(-50, 50) for _ in range(n)]
+    rows = [(i, ts[i]) for i in range(n)]
+    # sequential oracle
+    run_max, prev, want_adj, want_bad = float("-inf"), None, {}, []
+    for i, t in enumerate(ts):
+        run_max = max(run_max, t)
+        want_adj[i] = run_max
+        if prev is not None and t < prev:
+            want_bad.append(i)
+        prev = t
+    df = spark.createDataFrame(rows, "event_id long, ts double").repartition(8)
+    for nb in (3, 7, 1000):
+        adj = {
+            r["event_id"]: r["ts_adj"]
+            for r in monotonic_adjust(df, num_buckets=nb).collect()
+        }
+        assert adj == want_adj, f"num_buckets={nb}"
+        bad = sorted(
+            r["event_id"]
+            for r in unsorted_timestamps(df, num_buckets=nb).collect()
+        )
+        assert bad == want_bad, f"num_buckets={nb}"
+
+
 def test_rules_dsl(spark):
     df = spark.createDataFrame(
         [(1, "login", 5.0, T0), (2, "logout", 50.0, T0 + 3600), (3, "error", 5.0, T0)],
