@@ -37,8 +37,10 @@ from logdata_anomaly_miner_spark.operators.entropy import (
 )
 from logdata_anomaly_miner_spark.operators.event_frequency import (
     anchored_window_counts,
+    check_early_exceeding,
     check_event_frequency,
     check_sliding_frequency,
+    frequency_bands_seasonal,
 )
 from logdata_anomaly_miner_spark.operators.missing import check_missing_values
 from logdata_anomaly_miner_spark.operators.new_value import check_new_values
@@ -533,7 +535,156 @@ def q_variable_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_range_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VRD learn-mode lifecycle (reference ValueRangeDetector.py:81-84,
+    ValueRangeDetectorTest.py:181-192): sequential prefix check while
+    learning, frozen-baseline check after stop_learning_time (half the
+    batch's time span)."""
+    from logdata_anomaly_miner_spark.operators.value_range import (
+        check_value_range_lifecycle,
+    )
+
+    ev = _events(spark, sf_dir)
+    slt = ev.agg(((F.max("es") - F.min("es")) / 2.0).alias("slt")).collect()[0]["slt"]
+    v, _ = check_value_range_lifecycle(
+        ev,
+        ["event_type"],
+        "value",
+        order_cols=("event_id",),
+        ts_col="es",
+        stop_learning_time=float(slt),
+    )
+    return v.select("event_id", "phase")
+
+
+def q_new_combos_enhanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EnhancedNewMatchPathValueComboDetector (reference :27-228): novelty +
+    per-combo first_seen/last_seen/count metadata."""
+    from logdata_anomaly_miner_spark.operators.new_value import (
+        check_new_combos_enhanced,
+    )
+
+    ev = _halved(_events(spark, sf_dir)).withColumn(
+        "vbin", F.floor(F.col("value") / 50).cast("int")
+    )
+    _, base = check_new_combos_enhanced(
+        ev.filter("event_id < thr"), ["event_type", "vbin"], None, ts_col="es"
+    )
+    v, _ = check_new_combos_enhanced(
+        ev.filter("event_id >= thr"), ["event_type", "vbin"], base, ts_col="es"
+    )
+    return v.select(
+        "event_type",
+        "vbin",
+        F.round("first_seen", 6).alias("first_seen"),
+        F.round("last_seen", 6).alias("last_seen"),
+        F.col("n_seen").cast("long").alias("n_seen"),
+    )
+
+
+def q_new_id_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NewMatchIdValueComboDetector (reference :30-273): assemble the first
+    non-null value per path per id (event order), novelty-check the combo."""
+    from logdata_anomaly_miner_spark.operators.new_value import check_new_id_combos
+
+    ev = _halved(_events(spark, sf_dir))
+    base = (
+        check_new_id_combos(
+            ev.filter("event_id < thr"),
+            "user_id",
+            ["event_type", "value"],
+            None,
+            ts_col="es",
+            order_cols=["us", "event_id"],
+        )
+        .select("event_type", "value")
+        .dropDuplicates()
+    )
+    v = check_new_id_combos(
+        ev.filter("event_id >= thr"),
+        "user_id",
+        ["event_type", "value"],
+        base,
+        ts_col="es",
+        order_cols=["us", "event_id"],
+    )
+    return v.select(
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("ts", 6).alias("first_ts"),
+    )
+
+
+def q_implication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EventCorrelationDetector / TimeCorrelationViolationDetector check
+    core: purchase must be followed by an error within 600s for the same
+    user; violations are the unanswered antecedents."""
+    from logdata_anomaly_miner_spark.operators.correlation import implication_within
+
+    ev = _events(spark, sf_dir)
+    v = implication_within(
+        ev,
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "error",
+        0.0,
+        600.0,
+        ts_col="es",
+        key_cols=("user_id",),
+    )
+    return v.select("event_id")
+
+
+def q_early_exceeding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EventFrequencyDetector early_exceeding_anomaly_output (:264-302):
+    first event in a window whose running count crosses the band's upper."""
+    ev = _events(spark, sf_dir)
+    v = check_early_exceeding(
+        ev,
+        ["event_type"],
+        600.0,
+        10,
+        0.51,
+        ts_col="es",
+        tiebreak_cols=["event_id"],
+    )
+    return v.select(
+        "event_type",
+        "w",
+        "event_id",
+        F.col("running_cnt").cast("long").alias("running_cnt"),
+    )
+
+
+def q_freq_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EventFrequencyDetector seasonal bands (calculate_range :361-399 with
+    season/lookback): differenced history + seasonal-slot offset."""
+    ev = _events(spark, sf_dir)
+    counts = anchored_window_counts(ev, ["event_type"], 600.0, ts_col="es")
+    banded = frequency_bands_seasonal(
+        counts, ["event_type"], num_windows=10, confidence_factor=0.51, lookback=3
+    )
+    v = (
+        banded.filter(F.col("w") < F.col("w_last"))
+        .filter(F.col("n_hist") >= 1)
+        .filter((F.col("cnt") < F.col("lower")) | (F.col("cnt") > F.col("upper")))
+    )
+    return v.select(
+        "event_type",
+        "w",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("lower", 6).alias("lower"),
+        F.round("upper", 6).alias("upper"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "value_range_lifecycle": q_value_range_lifecycle,
+    "new_combos_enhanced": q_new_combos_enhanced,
+    "new_id_combos": q_new_id_combos,
+    "implication": q_implication,
+    "early_exceeding": q_early_exceeding,
+    "freq_seasonal": q_freq_seasonal,
     "ks_drift": q_ks_drift,
     "chi2": q_chi2,
     "variable_types": q_variable_types,
@@ -581,6 +732,157 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLES: dict[str, str] = {
+    "value_range_lifecycle": """
+WITH ev AS (SELECT event_id, event_type, value, epoch_us(ts)/1000000.0 AS es FROM events),
+b AS (SELECT min(es) + (max(es) - min(es))/2.0 AS cut FROM ev),
+learn AS (SELECT ev.* FROM ev, b WHERE es <= cut),
+chk AS (SELECT ev.* FROM ev, b WHERE es > cut),
+pre AS (SELECT event_id, value,
+               min(value) OVER win AS pmin, max(value) OVER win AS pmax
+        FROM learn
+        WINDOW win AS (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+r AS (SELECT event_type, min(value) AS mn, max(value) AS mx FROM learn GROUP BY 1)
+SELECT event_id, 'learn' AS phase FROM pre
+WHERE pmin IS NOT NULL AND (value < pmin OR value > pmax)
+UNION ALL
+SELECT c.event_id, 'check' AS phase FROM chk c JOIN r USING (event_type)
+WHERE c.value < r.mn OR c.value > r.mx
+""",
+    "new_combos_enhanced": """
+WITH thr AS (SELECT max(event_id)/2.0 AS t FROM events),
+ev AS (SELECT event_id, event_type, CAST(floor(value/50) AS INT) AS vbin,
+              epoch_us(ts)/1000000.0 AS es FROM events),
+base AS (SELECT DISTINCT event_type, vbin FROM ev, thr WHERE event_id < t),
+cur AS (SELECT event_type, vbin,
+               round(min(es), 6) AS first_seen, round(max(es), 6) AS last_seen,
+               CAST(count(*) AS BIGINT) AS n_seen
+        FROM ev, thr WHERE event_id >= t GROUP BY 1, 2)
+SELECT c.* FROM cur c
+WHERE NOT EXISTS (SELECT 1 FROM base b
+                  WHERE b.event_type = c.event_type AND b.vbin = c.vbin)
+""",
+    "new_id_combos": """
+WITH thr AS (SELECT max(event_id)/2.0 AS t FROM events),
+ev AS (SELECT event_id, user_id, event_type, value,
+              epoch_us(ts) AS us, epoch_us(ts)/1000000.0 AS es FROM events),
+h1 AS (SELECT ev.* FROM ev, thr WHERE event_id < t),
+h2 AS (SELECT ev.* FROM ev, thr WHERE event_id >= t),
+et1 AS (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+        FROM h1 WHERE event_type IS NOT NULL),
+vv1 AS (SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+        FROM h1 WHERE value IS NOT NULL),
+ids1 AS (SELECT DISTINCT user_id FROM h1),
+base AS (SELECT DISTINCT e.event_type, v.value
+         FROM ids1 i
+         LEFT JOIN (SELECT user_id, event_type FROM et1 WHERE rn = 1) e USING (user_id)
+         LEFT JOIN (SELECT user_id, value FROM vv1 WHERE rn = 1) v USING (user_id)),
+et2 AS (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+        FROM h2 WHERE event_type IS NOT NULL),
+vv2 AS (SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+        FROM h2 WHERE value IS NOT NULL),
+agg2 AS (SELECT i.user_id, e.event_type, v.value, i.ts
+         FROM (SELECT user_id, min(es) AS ts FROM h2 GROUP BY 1) i
+         LEFT JOIN (SELECT user_id, event_type FROM et2 WHERE rn = 1) e USING (user_id)
+         LEFT JOIN (SELECT user_id, value FROM vv2 WHERE rn = 1) v USING (user_id))
+SELECT user_id, event_type, round(value, 6) AS value, round(ts, 6) AS first_ts
+FROM agg2 a
+WHERE NOT EXISTS (SELECT 1 FROM base b
+                  WHERE b.event_type = a.event_type AND b.value = a.value)
+""",
+    "implication": """
+WITH a AS (SELECT event_id, user_id, epoch_us(ts)/1000000.0 AS es
+           FROM events WHERE event_type = 'purchase'),
+b AS (SELECT user_id, epoch_us(ts)/1000000.0 AS es
+      FROM events WHERE event_type = 'error')
+SELECT a.event_id FROM a
+WHERE NOT EXISTS (SELECT 1 FROM b
+                  WHERE b.user_id = a.user_id
+                    AND b.es >= a.es AND b.es <= a.es + 600.0)
+""",
+    "early_exceeding": """
+WITH t0 AS (SELECT min(epoch_us(ts)/1000000.0) AS t0 FROM events),
+evw AS (SELECT event_id, event_type, epoch_us(ts)/1000000.0 AS es,
+               CAST(floor((epoch_us(ts)/1000000.0 - t0)/600.0) AS BIGINT) AS w
+        FROM events CROSS JOIN t0),
+c AS (SELECT event_type, w, count(*) AS cnt FROM evw GROUP BY 1, 2),
+k AS (SELECT event_type, min(w) AS w0 FROM c GROUP BY 1),
+g AS (SELECT max(w) AS wm FROM c),
+spine AS (SELECT k.event_type, gs.w FROM k
+          CROSS JOIN (SELECT unnest(generate_series(0, (SELECT wm FROM g))) AS w) gs
+          WHERE gs.w >= k.w0),
+sp AS (SELECT s.event_type, s.w, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+       FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.w = s.w),
+bnd AS (SELECT event_type, w, cnt,
+               avg(cnt) OVER win AS mean,
+               stddev_pop(cnt) OVER win AS std,
+               count(cnt) OVER win AS n_hist
+        FROM sp
+        WINDOW win AS (PARTITION BY event_type ORDER BY w
+                       ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+ub AS (SELECT event_type, w,
+              mean + (CASE WHEN n_hist <= 1 THEN mean * (1 - 0.51) ELSE std END)/0.51 AS upper
+       FROM bnd WHERE n_hist >= 1),
+cum AS (SELECT event_id, event_type, w, es,
+               count(*) OVER (PARTITION BY event_type, w ORDER BY es, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
+        FROM evw),
+crossed AS (SELECT cum.*, row_number() OVER (PARTITION BY cum.event_type, cum.w
+                                             ORDER BY es, event_id) AS rn
+            FROM cum JOIN ub ON ub.event_type = cum.event_type AND ub.w = cum.w
+            WHERE rc > ub.upper)
+SELECT event_type, w, event_id, CAST(rc AS BIGINT) AS running_cnt
+FROM crossed WHERE rn = 1
+""",
+    "freq_seasonal": """
+WITH t0 AS (SELECT min(epoch_us(ts)/1000000.0) AS t0 FROM events),
+c AS (SELECT event_type, CAST(floor((epoch_us(ts)/1000000.0 - t0)/600.0) AS BIGINT) AS w,
+             count(*) AS cnt
+      FROM events CROSS JOIN t0 GROUP BY 1, 2),
+k AS (SELECT event_type, min(w) AS w0 FROM c GROUP BY 1),
+g AS (SELECT max(w) AS wm FROM c),
+spine AS (SELECT k.event_type, gs.w, (SELECT wm FROM g) AS wm FROM k
+          CROSS JOIN (SELECT unnest(generate_series(0, (SELECT wm FROM g))) AS w) gs
+          WHERE gs.w >= k.w0),
+sp AS (SELECT s.event_type, s.w, s.wm, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+       FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.w = s.w),
+d AS (SELECT *,
+             cnt - lag(cnt, 3) OVER (PARTITION BY event_type ORDER BY w) AS diff,
+             count(cnt) OVER (PARTITION BY event_type ORDER BY w
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_hist
+      FROM sp),
+e AS (SELECT *,
+             avg(cnt) OVER hp AS mean_p, stddev_pop(cnt) OVER hp AS std_p,
+             count(cnt) OVER hp AS n_p,
+             avg(diff) OVER hd AS mean_d, stddev_pop(diff) OVER hd AS std_d,
+             count(diff) OVER hd AS n_d,
+             avg(cnt) OVER hs AS soff
+      FROM d
+      WINDOW hp AS (PARTITION BY event_type ORDER BY w
+                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
+             hd AS (PARTITION BY event_type ORDER BY w
+                    ROWS BETWEEN 8 PRECEDING AND 2 PRECEDING),
+             hs AS (PARTITION BY event_type, w % 3 ORDER BY w
+                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
+f AS (SELECT *, (least(n_hist + 1, 12) > 5) AS seas FROM e),
+h AS (SELECT *,
+             CASE WHEN seas THEN mean_d ELSE mean_p END AS mean,
+             CASE WHEN (CASE WHEN seas THEN n_d ELSE n_p END) > 1
+                  THEN CASE WHEN seas THEN std_d ELSE std_p END
+                  ELSE mean_p * (1 - 0.51) END AS s,
+             CASE WHEN seas THEN soff ELSE 0.0 END AS off
+      FROM f)
+SELECT event_type, w, CAST(cnt AS BIGINT) AS cnt,
+       round(mean + off - s/0.51, 6) AS lower,
+       round(mean + off + s/0.51, 6) AS upper
+FROM h
+WHERE w < wm AND n_hist >= 1
+  AND (cnt < mean + off - s/0.51 OR cnt > mean + off + s/0.51)
+""",
     "ks_drift": """
 WITH thr AS (SELECT max(event_id)/2.0 AS t FROM events),
 u AS (SELECT event_type, value AS v,

@@ -262,6 +262,7 @@ def check_early_exceeding(
     confidence_factor: float,
     ts_col: str = "ts",
     t0: float | None = None,
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """early_exceeding_anomaly_output (reference :264-302): the FIRST event
     within a window at which the key's running count already exceeds the
@@ -282,14 +283,15 @@ def check_early_exceeding(
     counts = anchored_window_counts(src, key_cols, window_size, ts_col, t0=t0)
     banded = frequency_bands(counts, key_cols, num_windows, confidence_factor)
     bounds = banded.filter(F.col("n_hist") >= 1).select(*key_cols, "w", "upper")
-    run = Window.partitionBy(*key_cols, "w").orderBy(ts).rowsBetween(
+    order = [ts, *[F.col(c) for c in tiebreak_cols]]
+    run = Window.partitionBy(*key_cols, "w").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0
     )
     cum = with_w.withColumn("running_cnt", F.count(F.lit(1)).over(run))
     crossed = cum.join(bounds, [*key_cols, "w"]).filter(
         F.col("running_cnt") > F.col("upper")
     )
-    first = Window.partitionBy(*key_cols, "w").orderBy(ts)
+    first = Window.partitionBy(*key_cols, "w").orderBy(*order)
     return (
         crossed.withColumn("_rn", F.row_number().over(first))
         .filter(F.col("_rn") == 1)

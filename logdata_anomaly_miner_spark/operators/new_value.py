@@ -128,20 +128,27 @@ def check_new_id_combos(
     value_cols: Sequence[str],
     baseline: DataFrame | None,
     ts_col: str = "ts",
+    order_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """NewMatchIdValueComboDetector: combos are assembled **across rows**
     sharing an id (the reference's only join-like operator, reference
     :30-273) — we take the first non-null value per path per id in event
     order, then novelty-check the assembled combo.
 
-    'First in event order' is computed as min(struct(ts, value)) over the
-    non-null rows per path — deterministic across partitioning and task
-    retries (F.first(ignorenulls=True) depends on partition arrival order);
-    ties on ts break by value, still deterministic."""
+    'First in event order' is computed as min(struct(order…, value)) over
+    the non-null rows per path — deterministic across partitioning and task
+    retries (F.first(ignorenulls=True) depends on partition arrival order).
+    ``order_cols`` defaults to (ts_col,); pass a unique ordering (e.g.
+    ts + event id) for exact sequential parity — with ts alone, ties break
+    by the value itself, still deterministic."""
+    order = list(order_cols) if order_cols else [ts_col]
     agg = df.groupBy(id_col).agg(
         *[
             F.min(
-                F.when(F.col(c).isNotNull(), F.struct(F.col(ts_col), F.col(c)))
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(*[F.col(o) for o in order], F.col(c)),
+                )
             )[c].alias(c)
             for c in value_cols
         ],

@@ -128,3 +128,46 @@ def check_value_range_sequential(
     )
     learned = merge_ranges(baseline, learn_ranges(df, id_cols, value_col), id_cols)
     return violations, learned
+
+
+def check_value_range_lifecycle(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_col: str,
+    order_cols: Sequence[str] = ("ts",),
+    ts_col: str = "ts",
+    baseline: DataFrame | None = None,
+    stop_learning_time: float | None = None,
+    stop_learning_no_anomaly_time: float | None = None,
+    ignore_cols: Sequence[str] = (),
+    constraint_cols: Sequence[str] = (),
+    broadcast_baseline: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Full VRD lifecycle (reference ValueRangeDetector.py:74-164):
+    screen ignore/constraint paths, run the sequential prefix check while
+    learn_mode holds, then check the remaining atoms against the FROZEN
+    learned ranges once stop_learning_time / stop_learning_no_anomaly_time
+    flips learn_mode off. Returns (violations + phase column, learned
+    baseline — which post-cutoff atoms never extend)."""
+    from logdata_anomaly_miner_spark.operators.lifecycle import (
+        screen_paths,
+        split_learn_check,
+    )
+
+    work = screen_paths(df, ignore_cols, constraint_cols)
+    learn_df, check_df = split_learn_check(
+        work, ts_col, stop_learning_time, stop_learning_no_anomaly_time
+    )
+    v_learn, learned = check_value_range_sequential(
+        learn_df, id_cols, value_col, order_cols, baseline
+    )
+    v_check = check_value_range(
+        check_df, id_cols, value_col, learned, broadcast_baseline
+    )
+    cols = [*df.columns, "detail"]
+    violations = (
+        v_learn.withColumn("phase", F.lit("learn"))
+        .select(*cols, "phase")
+        .unionByName(v_check.withColumn("phase", F.lit("check")).select(*cols, "phase"))
+    )
+    return violations, learned
