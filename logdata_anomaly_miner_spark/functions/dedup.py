@@ -117,18 +117,52 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets; keeps pairs with similarity ≥
     threshold. |∩| via the shingle **inverted index** (self-join on gram):
     only pairs that actually share a shingle ever materialize — never the
     all-pairs cross product. Pass ``candidates`` (e.g. LSH pairs) to restrict
-    further; None scans the full index (exact, still sub-quadratic for
-    natural shingle distributions)."""
+    further; None scans the full index.
+
+    ``max_shingle_df`` caps the inverted-index skew: a shingle shared by f
+    documents materializes f² join rows, so one stop-shingle ('the qu')
+    in 10⁶ docs would alone emit 10¹² rows. With the cap set, shingles with
+    document frequency > cap are EXCLUDED from candidate generation (and
+    logged); the surviving candidates' Jaccard is then computed exactly
+    over ALL their shingles, so reported similarities are unchanged — only
+    pairs whose overlap consists exclusively of capped stop-shingles are
+    missed (those have near-zero Jaccard by construction when the cap ≫
+    doc count × threshold)."""
     sh = df.select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("sh")
     )
     sizes = sh.select("_id", F.size("sh").alias("n"))
     ex = sh.select("_id", F.explode("sh").alias("g"))
+    if candidates is None and max_shingle_df is not None:
+        hot = (
+            ex.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > int(max_shingle_df))
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "ngram_jaccard_pairs: dropping %d shingles with df > %d from "
+                "candidate generation (pairs sharing only those are missed)",
+                n_hot,
+                max_shingle_df,
+            )
+        pruned = ex.join(F.broadcast(hot.select("g")), "g", "left_anti")
+        candidates = (
+            pruned.select(F.col("_id").alias("id_a"), "g")
+            .join(pruned.select(F.col("_id").alias("id_b"), "g"), "g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
+        )
     if candidates is None:
         # full inverted index: every shingle-sharing pair, exact
         inter = (

@@ -17,7 +17,7 @@ range-join core implemented here as ``implication_within``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -49,6 +49,88 @@ def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         (F.countDistinct("a") - 1) * (F.countDistinct("b") - 1)
     )
     return j.agg(F.sum("term").alias("chi2"), dof.alias("dof"))
+
+
+def mine_implication_rules(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+    max_delta: float = 5.0,
+    p0: float = 0.75,
+    alpha: float = 0.05,
+    max_observations: int = 150,
+) -> DataFrame:
+    """EventCorrelationDetector hypothesis mining, batch analog (reference
+    EventCorrelationDetector.py:37-846, min_eval_true :124-149): every
+    ordered type pair (A→B) is a forward hypothesis "A is followed by B
+    within max_delta". A hypothesis is evaluated on the FIRST
+    ``max_observations`` A-events (the reference's evaluation budget); it
+    becomes a 'rule' when the count of confirmed observations reaches the
+    binomial critical value min{k : P(Bin(n, p0) >= k) <= alpha}
+    (reference :135-148 — sum C(n,i)(1−p0)^i p0^(n−i) over failures i until
+    it exceeds 1−alpha, threshold n−i), 'rejected' when it falls short,
+    and 'undecided' when fewer than max_observations A-events exist.
+
+    Differences vs the reference, by design: the sequential sampler
+    (generation_probability / candidates deque) is replaced by exhaustive
+    evaluation of all type pairs — the batch engine can afford it and the
+    result is deterministic.
+
+    Scale shape: the observation set is ≤ max_observations rows per type
+    (row_number over a per-type window); the confirmation check is a range
+    join of that small set against the events table — Catalyst turns the
+    ts predicate into a band condition AQE can handle; everything after is
+    |types|² aggregation."""
+    from math import comb
+
+    ts = F.col(ts_col).cast("double")
+    w = Window.partitionBy(type_col).orderBy(ts, *[F.col(c) for c in order_cols])
+    obs = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_observations)
+        .select(
+            F.col(type_col).alias("a"),
+            ts.alias("ta"),
+            F.col("_rn"),
+        )
+    )
+    ev = df.select(F.col(type_col).alias("b"), ts.alias("tb"))
+    confirmed = (
+        obs.join(
+            ev,
+            (F.col("tb") > F.col("ta"))
+            & (F.col("tb") <= F.col("ta") + F.lit(float(max_delta)))
+            & (F.col("b") != F.col("a")),
+        )
+        .select("a", "b", "_rn")
+        .dropDuplicates()
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    n_obs = obs.groupBy("a").agg(F.count(F.lit(1)).alias("n_obs"))
+    types = df.select(F.col(type_col).alias("a")).dropDuplicates()
+    pairs = (
+        types.join(types.select(F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .join(n_obs, "a")
+        .join(confirmed, ["a", "b"], "left")
+        .withColumn("n_true", F.coalesce(F.col("n_true"), F.lit(0)))
+    )
+
+    # exact binomial critical value (reference get_min_eval_true :124-149)
+    s, thr = 0.0, max_observations
+    for i in range(max_observations + 1):
+        s += comb(max_observations, i) * ((1 - p0) ** i) * (p0 ** (max_observations - i))
+        if s > 1 - alpha:
+            thr = max_observations - i
+            break
+    return pairs.withColumn(
+        "status",
+        F.when(F.col("n_obs") < max_observations, F.lit("undecided"))
+        .when(F.col("n_true") >= F.lit(thr), F.lit("rule"))
+        .otherwise(F.lit("rejected")),
+    )
 
 
 def implication_within(

@@ -60,6 +60,37 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert 0.3 <= got[(1, 4)] < 1.0
 
 
+def test_jaccard_shingle_df_cap(spark):
+    """A planted stop-shingle shared by EVERY doc must not drive candidate
+    generation when max_shingle_df is set: pairs overlapping only on the
+    stop phrase disappear (bounding the index self-join), while genuine
+    near-dups keep their EXACT jaccard (intersection still counts all
+    shingles, including capped ones)."""
+    stop = " lorem ipsum dolor sit amet"
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog" + stop),
+        (2, "the quick brown fox jumps over the lazy dog" + stop),
+        (3, "a completely different document body here" + stop),
+        (4, "yet another unrelated piece of text content" + stop),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, None, "doc_id", "text", 3, 0.01).collect()
+    }
+    # without the cap the stop phrase makes EVERY pair a candidate
+    assert uncapped == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, None, "doc_id", "text", 3, 0.01, max_shingle_df=2
+        ).collect()
+    }
+    # stop-shingle-only pairs are gone; the true near-dup pair survives
+    assert set(capped) == {(1, 2)}
+    assert capped[(1, 2)] == 1.0  # exact jaccard, capped shingles included
+
+
 def test_simhash_near_dups(spark):
     sim = simhash64(_docs(spark), "doc_id", "text")
     vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
