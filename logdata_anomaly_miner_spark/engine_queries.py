@@ -635,6 +635,58 @@ def q_implication(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("event_id")
 
 
+def q_var_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariableTypeDetector detect_continuous_shape (reference :969-1150):
+    best-fit continuous distribution per variable over the first num_init
+    values, closed-form one-sample KS."""
+    from logdata_anomaly_miner_spark.operators.var_gof import fit_continuous
+
+    ev = _read(spark, sf_dir, "events")
+    out = fit_continuous(ev, ["event_type"], "value", ["event_id"], num_init=100)
+    return out.select(
+        "event_type",
+        "dist",
+        F.round("stat", 6).alias("stat"),
+        F.col("n").cast("long").alias("n"),
+        "accepted",
+    )
+
+
+def q_var_sgof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariableTypeDetector s_gof sliding test + binomial ladder
+    (reference :1558-1700): consecutive chunks KS-tested against the
+    fitted distribution; alarm when trailing fails hit the binomial
+    critical value."""
+    from logdata_anomaly_miner_spark.operators.var_gof import (
+        fit_continuous,
+        s_gof_ladder,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    fitted = fit_continuous(ev, ["event_type"], "value", ["event_id"], num_init=100)
+    out = s_gof_ladder(
+        ev,
+        ["event_type"],
+        "value",
+        ["event_id"],
+        fitted,
+        num_init=100,
+        num_s_gof_values=50,
+        s_gof_alpha=0.05,
+        num_s_gof_bt=30,
+        s_gof_bt_alpha=0.05,
+    )
+    return out.select(
+        "event_type",
+        "chunk",
+        F.round("stat", 6).alias("stat"),
+        "failed",
+        F.col("n_fails").cast("long").alias("n_fails"),
+        F.col("n_tests").cast("long").alias("n_tests"),
+        "alarm",
+    )
+
+
 def q_hypothesis_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EventCorrelationDetector hypothesis mining (reference :37-846):
     exhaustive A→B-within-delta hypotheses over event types, binomial
@@ -712,6 +764,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "new_id_combos": q_new_id_combos,
     "implication": q_implication,
     "hypothesis_rules": q_hypothesis_rules,
+    "var_gof": q_var_gof,
+    "var_sgof": q_var_sgof,
     "early_exceeding": q_early_exceeding,
     "freq_seasonal": q_freq_seasonal,
     "ks_drift": q_ks_drift,
@@ -822,6 +876,178 @@ SELECT user_id, event_type, round(value, 6) AS value, round(ts, 6) AS first_ts
 FROM agg2 a
 WHERE NOT EXISTS (SELECT 1 FROM base b
                   WHERE b.event_type = a.event_type AND b.value = a.value)
+""",
+    "var_gof": """
+WITH ev AS (SELECT event_id, event_type AS g, value AS v FROM events WHERE value IS NOT NULL),
+init AS (SELECT g, v FROM (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY event_id) AS ern
+                           FROM ev) WHERE ern <= 100),
+st AS (SELECT g, count(*) AS n, min(v) AS vmin, max(v) AS vmax,
+              avg(v) AS mu, stddev_pop(v) AS sigma FROM init GROUP BY 1),
+rk AS (SELECT i.g, i.v, CAST(row_number() OVER (PARTITION BY i.g ORDER BY i.v) AS DOUBLE) AS rn,
+              CAST(s.n AS DOUBLE) AS nd, s.n, s.vmin, s.vmax, s.mu, s.sigma
+       FROM init i JOIN st s USING (g)),
+zz AS (SELECT *, (v - mu)/sigma AS z FROM rk),
+nt AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(z)) AS t FROM zz),
+cd AS (SELECT g, n, nd, rn,
+  least(greatest((v - vmin)/(vmax - vmin), 0.0), 1.0) AS x_uni,
+  CASE WHEN z >= 0
+       THEN 1.0 - (exp((-abs(z))*abs(z)/2.0)*0.3989422804014327)
+                * (t*(0.319381530 + t*(-0.356563782 + t*(1.781477937 + t*(-1.821255978 + t*1.330274429)))))
+       ELSE 1.0 - (1.0 - (exp((-abs(z))*abs(z)/2.0)*0.3989422804014327)
+                * (t*(0.319381530 + t*(-0.356563782 + t*(1.781477937 + t*(-1.821255978 + t*1.330274429)))))) END AS f_nor,
+  least(greatest(z*0.15971914124998499 + 0.7142857142857143, 0.0), 1.0) AS x_b2,
+  least(greatest(z*0.15971914124998499 + 0.2857142857142857, 0.0), 1.0) AS x_b3,
+  least(greatest(z*0.14085904245475275 + 0.16666666666666666, 0.0), 1.0) AS x_b4,
+  least(greatest(z*0.14085904245475275 + 0.8333333333333334, 0.0), 1.0) AS x_b5
+  FROM nt),
+cf AS (SELECT g, n, nd, rn, x_uni AS f_uni, f_nor,
+  0.6366197723675814*asin(sqrt(x_uni)) AS f_b1,
+  0.0 + 6.0*pow(x_b2,5.0)*pow(1-x_b2,1.0) + 1.0*pow(x_b2,6.0)*pow(1-x_b2,0.0) AS f_b2,
+  0.0 + 15.0*pow(x_b3,2.0)*pow(1-x_b3,4.0) + 20.0*pow(x_b3,3.0)*pow(1-x_b3,3.0)
+      + 15.0*pow(x_b3,4.0)*pow(1-x_b3,2.0) + 6.0*pow(x_b3,5.0)*pow(1-x_b3,1.0)
+      + 1.0*pow(x_b3,6.0)*pow(1-x_b3,0.0) AS f_b3,
+  0.0 + 5.0*pow(x_b4,1.0)*pow(1-x_b4,4.0) + 10.0*pow(x_b4,2.0)*pow(1-x_b4,3.0)
+      + 10.0*pow(x_b4,3.0)*pow(1-x_b4,2.0) + 5.0*pow(x_b4,4.0)*pow(1-x_b4,1.0)
+      + 1.0*pow(x_b4,5.0)*pow(1-x_b4,0.0) AS f_b4,
+  0.0 + 1.0*pow(x_b5,5.0)*pow(1-x_b5,0.0) AS f_b5
+  FROM cd),
+tt AS (SELECT g, n, nd,
+  greatest(rn/nd - f_uni, f_uni - (rn-1)/nd) AS t_uni,
+  greatest(rn/nd - f_nor, f_nor - (rn-1)/nd) AS t_nor,
+  greatest(rn/nd - f_b1, f_b1 - (rn-1)/nd) AS t_b1,
+  greatest(rn/nd - f_b2, f_b2 - (rn-1)/nd) AS t_b2,
+  greatest(rn/nd - f_b3, f_b3 - (rn-1)/nd) AS t_b3,
+  greatest(rn/nd - f_b4, f_b4 - (rn-1)/nd) AS t_b4,
+  greatest(rn/nd - f_b5, f_b5 - (rn-1)/nd) AS t_b5
+  FROM cf),
+sg AS (SELECT g, max(n) AS n, max(nd) AS nd,
+              max(t_uni) AS s_uni, max(t_nor) AS s_nor, max(t_b1) AS s_b1,
+              max(t_b2) AS s_b2, max(t_b3) AS s_b3, max(t_b4) AS s_b4,
+              max(t_b5) AS s_b5
+       FROM tt GROUP BY g),
+pick AS (SELECT g, n, nd,
+  least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) AS stat,
+  CASE WHEN s_uni = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'uni'
+       WHEN s_nor = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'nor'
+       WHEN s_b1 = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'beta1'
+       WHEN s_b2 = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'beta2'
+       WHEN s_b3 = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'beta3'
+       WHEN s_b4 = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'beta4'
+       ELSE 'beta5' END AS dist
+  FROM sg)
+SELECT g AS event_type, dist, round(stat, 6) AS stat, CAST(n AS BIGINT) AS n,
+       (stat < 1.3581015157406195/sqrt(nd)) AS accepted
+FROM pick
+""",
+    "var_sgof": """
+WITH ev AS (SELECT event_id, event_type AS g, value AS v FROM events WHERE value IS NOT NULL),
+rnk AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY event_id) AS ern FROM ev),
+init AS (SELECT g, v FROM rnk WHERE ern <= 100),
+st AS (SELECT g, count(*) AS n, min(v) AS vmin, max(v) AS vmax,
+              avg(v) AS mu, stddev_pop(v) AS sigma FROM init GROUP BY 1),
+rk AS (SELECT i.g, i.v, CAST(row_number() OVER (PARTITION BY i.g ORDER BY i.v) AS DOUBLE) AS rn,
+              CAST(s.n AS DOUBLE) AS nd, s.vmin, s.vmax, s.mu, s.sigma
+       FROM init i JOIN st s USING (g)),
+izz AS (SELECT *, (v - mu)/sigma AS z FROM rk),
+int_ AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(z)) AS t FROM izz),
+icd AS (SELECT g, nd, rn,
+  least(greatest((v - vmin)/(vmax - vmin), 0.0), 1.0) AS x_uni,
+  CASE WHEN z >= 0
+       THEN 1.0 - (exp((-abs(z))*abs(z)/2.0)*0.3989422804014327)
+                * (t*(0.319381530 + t*(-0.356563782 + t*(1.781477937 + t*(-1.821255978 + t*1.330274429)))))
+       ELSE 1.0 - (1.0 - (exp((-abs(z))*abs(z)/2.0)*0.3989422804014327)
+                * (t*(0.319381530 + t*(-0.356563782 + t*(1.781477937 + t*(-1.821255978 + t*1.330274429)))))) END AS f_nor,
+  least(greatest(z*0.15971914124998499 + 0.7142857142857143, 0.0), 1.0) AS x_b2,
+  least(greatest(z*0.15971914124998499 + 0.2857142857142857, 0.0), 1.0) AS x_b3,
+  least(greatest(z*0.14085904245475275 + 0.16666666666666666, 0.0), 1.0) AS x_b4,
+  least(greatest(z*0.14085904245475275 + 0.8333333333333334, 0.0), 1.0) AS x_b5
+  FROM int_),
+icf AS (SELECT g, nd, rn, x_uni AS f_uni, f_nor,
+  0.6366197723675814*asin(sqrt(x_uni)) AS f_b1,
+  0.0 + 6.0*pow(x_b2,5.0)*pow(1-x_b2,1.0) + 1.0*pow(x_b2,6.0)*pow(1-x_b2,0.0) AS f_b2,
+  0.0 + 15.0*pow(x_b3,2.0)*pow(1-x_b3,4.0) + 20.0*pow(x_b3,3.0)*pow(1-x_b3,3.0)
+      + 15.0*pow(x_b3,4.0)*pow(1-x_b3,2.0) + 6.0*pow(x_b3,5.0)*pow(1-x_b3,1.0)
+      + 1.0*pow(x_b3,6.0)*pow(1-x_b3,0.0) AS f_b3,
+  0.0 + 5.0*pow(x_b4,1.0)*pow(1-x_b4,4.0) + 10.0*pow(x_b4,2.0)*pow(1-x_b4,3.0)
+      + 10.0*pow(x_b4,3.0)*pow(1-x_b4,2.0) + 5.0*pow(x_b4,4.0)*pow(1-x_b4,1.0)
+      + 1.0*pow(x_b4,5.0)*pow(1-x_b4,0.0) AS f_b4,
+  0.0 + 1.0*pow(x_b5,5.0)*pow(1-x_b5,0.0) AS f_b5
+  FROM icd),
+itt AS (SELECT g,
+  greatest(rn/nd - f_uni, f_uni - (rn-1)/nd) AS t_uni,
+  greatest(rn/nd - f_nor, f_nor - (rn-1)/nd) AS t_nor,
+  greatest(rn/nd - f_b1, f_b1 - (rn-1)/nd) AS t_b1,
+  greatest(rn/nd - f_b2, f_b2 - (rn-1)/nd) AS t_b2,
+  greatest(rn/nd - f_b3, f_b3 - (rn-1)/nd) AS t_b3,
+  greatest(rn/nd - f_b4, f_b4 - (rn-1)/nd) AS t_b4,
+  greatest(rn/nd - f_b5, f_b5 - (rn-1)/nd) AS t_b5
+  FROM icf),
+isg AS (SELECT g, max(t_uni) AS s_uni, max(t_nor) AS s_nor, max(t_b1) AS s_b1,
+               max(t_b2) AS s_b2, max(t_b3) AS s_b3, max(t_b4) AS s_b4,
+               max(t_b5) AS s_b5
+        FROM itt GROUP BY g),
+fit AS (SELECT i.g,
+  CASE WHEN s_uni = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'uni'
+       WHEN s_nor = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'nor'
+       WHEN s_b1 = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'beta1'
+       WHEN s_b2 = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'beta2'
+       WHEN s_b3 = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'beta3'
+       WHEN s_b4 = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'beta4'
+       ELSE 'beta5' END AS dist,
+  s.vmin, s.vmax, s.mu, s.sigma
+  FROM isg i JOIN st s ON s.g = i.g),
+ch AS (SELECT r.g, r.v, CAST(floor((r.ern - 100 - 1)/50.0) AS BIGINT) AS chunk,
+              f.dist, f.vmin, f.vmax, f.mu, f.sigma
+       FROM rnk r JOIN fit f ON f.g = r.g WHERE r.ern > 100),
+crk AS (SELECT *, CAST(row_number() OVER (PARTITION BY g, chunk ORDER BY v) AS DOUBLE) AS rn,
+               CAST(count(*) OVER (PARTITION BY g, chunk) AS DOUBLE) AS cn FROM ch),
+czz AS (SELECT *, (v - mu)/sigma AS z FROM crk),
+cnt_ AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(z)) AS t FROM czz),
+ccd AS (SELECT g, chunk, rn, cn, dist,
+  least(greatest((v - vmin)/(vmax - vmin), 0.0), 1.0) AS x_uni,
+  CASE WHEN z >= 0
+       THEN 1.0 - (exp((-abs(z))*abs(z)/2.0)*0.3989422804014327)
+                * (t*(0.319381530 + t*(-0.356563782 + t*(1.781477937 + t*(-1.821255978 + t*1.330274429)))))
+       ELSE 1.0 - (1.0 - (exp((-abs(z))*abs(z)/2.0)*0.3989422804014327)
+                * (t*(0.319381530 + t*(-0.356563782 + t*(1.781477937 + t*(-1.821255978 + t*1.330274429)))))) END AS f_nor,
+  least(greatest(z*0.15971914124998499 + 0.7142857142857143, 0.0), 1.0) AS x_b2,
+  least(greatest(z*0.15971914124998499 + 0.2857142857142857, 0.0), 1.0) AS x_b3,
+  least(greatest(z*0.14085904245475275 + 0.16666666666666666, 0.0), 1.0) AS x_b4,
+  least(greatest(z*0.14085904245475275 + 0.8333333333333334, 0.0), 1.0) AS x_b5
+  FROM cnt_),
+csel AS (SELECT g, chunk, rn, cn,
+  CASE dist
+    WHEN 'uni' THEN x_uni
+    WHEN 'nor' THEN f_nor
+    WHEN 'beta1' THEN 0.6366197723675814*asin(sqrt(x_uni))
+    WHEN 'beta2' THEN 0.0 + 6.0*pow(x_b2,5.0)*pow(1-x_b2,1.0) + 1.0*pow(x_b2,6.0)*pow(1-x_b2,0.0)
+    WHEN 'beta3' THEN 0.0 + 15.0*pow(x_b3,2.0)*pow(1-x_b3,4.0) + 20.0*pow(x_b3,3.0)*pow(1-x_b3,3.0)
+                     + 15.0*pow(x_b3,4.0)*pow(1-x_b3,2.0) + 6.0*pow(x_b3,5.0)*pow(1-x_b3,1.0)
+                     + 1.0*pow(x_b3,6.0)*pow(1-x_b3,0.0)
+    WHEN 'beta4' THEN 0.0 + 5.0*pow(x_b4,1.0)*pow(1-x_b4,4.0) + 10.0*pow(x_b4,2.0)*pow(1-x_b4,3.0)
+                     + 10.0*pow(x_b4,3.0)*pow(1-x_b4,2.0) + 5.0*pow(x_b4,4.0)*pow(1-x_b4,1.0)
+                     + 1.0*pow(x_b4,5.0)*pow(1-x_b4,0.0)
+    WHEN 'beta5' THEN 0.0 + 1.0*pow(x_b5,5.0)*pow(1-x_b5,0.0)
+  END AS fv
+  FROM ccd),
+pc AS (SELECT g, chunk, max(greatest(rn/cn - fv, fv - (rn-1)/cn)) AS stat, max(cn) AS cn
+       FROM csel GROUP BY 1, 2),
+pcf AS (SELECT g, chunk, stat, (stat >= 1.3581015157406195/sqrt(50.0)) AS failed
+        FROM pc WHERE cn >= 50),
+lad AS (SELECT g, chunk, stat, failed,
+               sum(CASE WHEN failed THEN 1 ELSE 0 END) OVER w AS n_fails,
+               count(*) OVER w AS n_tests
+        FROM pcf
+        WINDOW w AS (PARTITION BY g ORDER BY chunk ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+kc AS (SELECT min(k)+1 AS k FROM (
+         SELECT k, sum(exp(lgamma(31)-lgamma(k+1)-lgamma(31-k))
+                       * pow(0.05, k) * pow(1-0.05, 30-k)) OVER (ORDER BY k) AS cum
+         FROM (SELECT unnest(generate_series(0, 30)) AS k))
+       WHERE 1.0 - cum <= 0.05)
+SELECT g AS event_type, chunk, round(stat, 6) AS stat, failed,
+       CAST(n_fails AS BIGINT) AS n_fails, CAST(n_tests AS BIGINT) AS n_tests,
+       (n_tests >= 30 AND n_fails >= (SELECT k FROM kc)) AS alarm
+FROM lad
 """,
     "hypothesis_rules": """
 WITH ev AS (SELECT event_id, event_type, epoch_us(ts)/1000000.0 AS es FROM events),
