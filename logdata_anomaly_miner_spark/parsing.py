@@ -213,3 +213,117 @@ def _group_index(rx: str, name: str) -> int:
                 idx += 1
         i += 1
     raise KeyError(name)
+
+
+# --------------------------------------------------------------------------
+# DateTime year inference + multi-locale (reference DateTimeModelElement.py)
+# --------------------------------------------------------------------------
+
+def infer_years(
+    df: DataFrame,
+    ts_col: str,
+    max_time_jump_seconds: float = 86400,
+    order_cols: tuple[str, ...] = ("line_no",),
+    stream_cols: tuple[str, ...] = (),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Year inference for no-year date formats (reference
+    DateTimeModelElement.py:295-345, tested by DateTimeModelElementTest
+    test11-test14): ``ts_col`` holds timestamps parsed with a fixed
+    ``start_year``; this re-derives the rolling year.
+
+    Sequential reference semantics re-expressed per stream in ingest order:
+    - **wraparound** (:310-323): a backward jump > max_time_jump_seconds
+      whose NEXT-YEAR reading lands within max_time_jump_seconds ahead of
+      the predecessor increments the year for this and all later rows
+      (cumulative sum of wrap indicators).
+    - **previous-year straggler** (:325-335): a backward jump whose
+      PREVIOUS-YEAR reading lands within max_time_jump_seconds behind the
+      predecessor maps THIS row to year-1 without touching the rolling
+      state.
+    - **inconsistency** (:336-345): neither fits -> the current-year
+      reading is kept (the reference logs a warning and keeps the value).
+
+    Deviations, documented: the reference folds a single mutable
+    last_parsed_seconds through the stream; the batch form evaluates the
+    same conditions against the immediate predecessor's straggler-corrected
+    reading (exact for isolated corrections — the reference's own tested
+    cases — and heuristic for adjacent correction runs, where the reference
+    itself is heuristic). Feb-29-into-non-leap-year readings clamp to
+    Feb 28 (timestamp_add) instead of raising the reference's ValueError.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or f"{ts_col}_adj"
+    w = Window.partitionBy(*stream_cols).orderBy(*[F.col(c) for c in order_cols])
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    jump = float(max_time_jump_seconds)
+    s = F.unix_timestamp(F.col(ts_col)).cast("double")
+    ny = F.unix_timestamp(F.timestamp_add("YEAR", F.lit(1), F.col(ts_col))).cast("double")
+    ly = F.unix_timestamp(F.timestamp_add("YEAR", F.lit(-1), F.col(ts_col))).cast("double")
+
+    # Pass 1 — straggler detection (:325-335): |delta| > jump (a late-
+    # December line read with the current year is a FORWARD jump in a
+    # January stream) and the previous-year reading lands within jump
+    # behind the predecessor. The row maps to year-1 without touching the
+    # rolling state.
+    d = df.withColumn("_s", s).withColumn("_ny", ny).withColumn("_ly", ly)
+    prev_raw = F.lag("_s").over(w)
+    straggler = (
+        prev_raw.isNotNull()
+        & (F.abs(prev_raw - F.col("_s")) > F.lit(jump))
+        & ((prev_raw - F.col("_ly")) <= F.lit(jump))
+    )
+    d = d.withColumn("_strag", straggler)
+    # effective seconds a successor compares against (reference updates
+    # last_parsed_seconds to the corrected value, :332-334)
+    d = d.withColumn("_eff", F.when(F.col("_strag"), F.col("_ly")).otherwise(F.col("_s")))
+
+    # Pass 2 — wraparound (:310-323): backward jump > jump vs the
+    # predecessor's effective reading, next-year reading within jump ahead.
+    prev_eff = F.lag("_eff").over(w)
+    wrap = (
+        ~F.col("_strag")
+        & prev_eff.isNotNull()
+        & ((prev_eff - F.col("_s")) > F.lit(jump))
+        & ((F.col("_ny") - prev_eff) <= F.lit(jump))
+    )
+    d = d.withColumn("_wrap", wrap.cast("int")).withColumn(
+        "_yoff", F.sum("_wrap").over(cum)
+    )
+    adj = F.timestamp_add(
+        "YEAR",
+        (F.col("_yoff") - F.when(F.col("_strag"), 1).otherwise(0)).cast("int"),
+        F.col(ts_col),
+    )
+    return d.withColumn(out_col, adj).drop(
+        "_s", "_ny", "_ly", "_strag", "_eff", "_wrap", "_yoff"
+    )
+
+
+def datetime_multi_locale(
+    col: Column,
+    formats: list[tuple[str, dict[str, str] | None]],
+) -> Column:
+    """MultiLocaleDateTimeModelElement (reference
+    MultiLocaleDateTimeModelElement.py / DateTimeModelElement.py:442-505):
+    first-match over (format, month-name translation) pairs.
+
+    Each entry is (spark datetime pattern, optional {localized month token
+    -> english token} map applied with word-boundary regexes before
+    to_timestamp); the first pattern that parses wins (coalesce order =
+    the reference's ordered date_formats list)."""
+    attempts = []
+    for fmt, month_map in formats:
+        normalized = col
+        for loc, eng in (month_map or {}).items():
+            # word boundaries only against word-char token edges ("Feb."
+            # ends in '.', where \b would never match)
+            pat = (
+                (r"\b" if loc[:1].isalnum() else "")
+                + re.escape(loc)
+                + (r"\b" if loc[-1:].isalnum() else "")
+            )
+            normalized = F.regexp_replace(normalized, pat, eng)
+        attempts.append(F.try_to_timestamp(normalized, F.lit(fmt)))
+    return F.coalesce(*attempts)

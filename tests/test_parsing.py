@@ -83,3 +83,78 @@ def test_repeated_span(spark):
         .collect()[0]["xs"]
     )
     assert items == ["1", "2", "3"]
+
+
+def test_infer_years_reference_parity(spark):
+    """Replays DateTimeModelElementTest test11/test13/test14: lines without
+    year, start_year=2020, default max_time_jump_seconds=86400."""
+    from logdata_anomaly_miner_spark.parsing import infer_years
+    from pyspark.sql import functions as F
+
+    # test11: 31.12 23:59:00 -> 1609459140; 01.01 11:20:00 -> 1609500000 (wrap)
+    df = spark.createDataFrame(
+        [(0, "31.12 23:59:00"), (1, "01.01 11:20:00")], "line_no long, raw string"
+    ).withColumn("ts", F.to_timestamp(F.concat(F.lit("2020 "), F.col("raw")), "yyyy dd.MM HH:mm:ss"))
+    out = infer_years(df, "ts", order_cols=("line_no",))
+    got = {r["line_no"]: r["ts_adj"].timestamp() for r in out.collect()}
+    assert got == {0: 1609459140.0, 1: 1609500000.0}
+
+    # test13: 01.01 23:59:00 after 31.12 23:59:00 is exactly 86400s ahead
+    # in the next year -> wrap accepted -> 1609545540
+    df = spark.createDataFrame(
+        [(0, "31.12 23:59:00"), (1, "01.01 23:59:00")], "line_no long, raw string"
+    ).withColumn("ts", F.to_timestamp(F.concat(F.lit("2020 "), F.col("raw")), "yyyy dd.MM HH:mm:ss"))
+    out = infer_years(df, "ts", order_cols=("line_no",))
+    got = {r["line_no"]: r["ts_adj"].timestamp() for r in out.collect()}
+    assert got[1] == 1609545540.0
+
+    # test14: next-year reading exceeds max_time_jump -> no wrap, value
+    # keeps the current-year reading (inconsistency branch)
+    df = spark.createDataFrame(
+        [(0, "31.12 23:59:00"), (1, "02.01 23:59:01")], "line_no long, raw string"
+    ).withColumn("ts", F.to_timestamp(F.concat(F.lit("2020 "), F.col("raw")), "yyyy dd.MM HH:mm:ss"))
+    out = infer_years(df, "ts", order_cols=("line_no",))
+    got = {r["line_no"]: r["ts_adj"].timestamp() for r in out.collect()}
+    # 2020-01-02 23:59:01 UTC (unchanged current-year reading)
+    assert got[1] == 1578009541.0
+
+
+def test_infer_years_straggler_previous_year(spark):
+    """Reference :325-335 — an early-January stream with a late-December
+    straggler: the straggler maps to year-1 without disturbing the rolling
+    year of later rows."""
+    from logdata_anomaly_miner_spark.parsing import infer_years
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "01.01 10:00:00"), (1, "31.12 23:50:00"), (2, "01.01 11:00:00")],
+        "line_no long, raw string",
+    ).withColumn("ts", F.to_timestamp(F.concat(F.lit("2021 "), F.col("raw")), "yyyy dd.MM HH:mm:ss"))
+    out = infer_years(df, "ts", order_cols=("line_no",))
+    got = {r["line_no"]: r["ts_adj"] for r in out.collect()}
+    assert got[1].year == 2020 and got[1].month == 12
+    assert got[0].year == 2021 and got[2].year == 2021
+
+
+def test_datetime_multi_locale(spark):
+    """MultiLocaleDateTimeModelElement: ordered formats, localized month
+    names normalized before parsing; first match wins."""
+    from logdata_anomaly_miner_spark.parsing import datetime_multi_locale
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("07 Feb 2019 11:40:00",), ("07 Feb. 2019 11:40:00",), ("07 Okt 2019 09:00:00",), ("nonsense",)],
+        "raw string",
+    )
+    ts = datetime_multi_locale(
+        F.col("raw"),
+        [
+            ("dd MMM yyyy HH:mm:ss", None),
+            ("dd MMM yyyy HH:mm:ss", {"Feb.": "Feb", "Okt": "Oct", "Dez": "Dec"}),
+        ],
+    )
+    got = [r["t"] for r in df.select(ts.alias("t")).collect()]
+    assert got[0] is not None and got[0].month == 2
+    assert got[1] is not None and got[1].month == 2
+    assert got[2] is not None and got[2].month == 10
+    assert got[3] is None
