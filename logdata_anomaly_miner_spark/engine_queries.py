@@ -535,6 +535,26 @@ def q_variable_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_pairs_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The xxhash64 MinHash SCALE variant end-to-end: integer signatures
+    (no md5 hex strings in the shuffle), 16 bands x 2 rows, exact-jaccard
+    verification. The oracle is the GROUND-TRUTH inverted-index jaccard
+    (no banding replication possible — DuckDB has no xxhash64), so a green
+    row certifies 100%% recall of this banding at the 0.85 threshold
+    (miss probability ~1e-11 per pair at jaccard 0.88)."""
+    from logdata_anomaly_miner_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_xx,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    sig = minhash_signatures_xx(docs, "doc_id", "text", n_hashes=32, shingle_k=3)
+    cand = lsh_candidate_pairs(sig, "doc_id", bands=16, rows_per_band=2)
+    pairs = ngram_jaccard_pairs(docs, cand, "doc_id", "text", 3, 0.85)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_value_range_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VRD learn-mode lifecycle (reference ValueRangeDetector.py:81-84,
     ValueRangeDetectorTest.py:181-192): sequential prefix check while
@@ -759,6 +779,7 @@ def q_freq_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "jaccard_pairs_xx": q_jaccard_pairs_xx,
     "value_range_lifecycle": q_value_range_lifecycle,
     "new_combos_enhanced": q_new_combos_enhanced,
     "new_id_combos": q_new_id_combos,
@@ -815,6 +836,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLES: dict[str, str] = {
+    "jaccard_pairs_xx": """
+WITH toks AS (SELECT doc_id,
+  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                   '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+grams AS (SELECT doc_id,
+  CASE WHEN len(t) >= 3
+       THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks),
+sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+ex AS (SELECT doc_id, unnest(g) AS sh FROM grams),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= 0.85
+""",
     "value_range_lifecycle": """
 WITH ev AS (SELECT event_id, event_type, value, epoch_us(ts)/1000000.0 AS es FROM events),
 b AS (SELECT min(es) + (max(es) - min(es))/2.0 AS cut FROM ev),

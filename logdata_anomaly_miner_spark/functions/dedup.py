@@ -87,6 +87,37 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_xx(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Scale variant of ``minhash_signatures``: min over shingles of
+    xxhash64(seed, shingle) (a signed long). One JVM-side hash per
+    (seed, shingle) instead of an md5 hex string — no string materialization
+    in the shuffle and integer min aggregation; the banding/bucketing
+    pipeline is identical. md5 stays the portable ORACLE form (DuckDB has
+    md5 but not xxhash64); signatures differ between the two variants but
+    both are valid MinHash families."""
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    seeded = ex.select(
+        "_id",
+        F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed"),
+        F.col("sh"),
+    )
+    return (
+        seeded.withColumn("h", F.xxhash64(F.col("seed"), F.col("sh")))
+        .groupBy("_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

@@ -67,8 +67,14 @@ def anchored_window_counts(
         )
     else:
         counts = with_w.groupBy(*key_cols, "w").agg(F.count(F.lit(1)).alias("cnt"))
+    return densify_counts(counts, key_cols)
 
-    # Dense spine: every key gets every window from its first to the global max.
+
+def densify_counts(counts: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Dense spine over sparse (key, w, cnt) rows: every key gets every
+    window from its first to the global max, zero-filled, plus ``w_last``
+    (global last window index, never checked). Shared by the batch
+    anchored counts and the streaming foreachBatch band check."""
     key_span = counts.groupBy(*key_cols).agg(F.min("w").alias("w_first"))
     global_max = counts.agg(F.max("w").alias("w_last"))
     spine = (
@@ -80,7 +86,7 @@ def anchored_window_counts(
         )
     )
     return (
-        spine.join(counts, [*key_cols, "w"], "left")
+        spine.join(counts.select(*key_cols, "w", "cnt"), [*key_cols, "w"], "left")
         .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
     )
 

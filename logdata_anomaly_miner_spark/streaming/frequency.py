@@ -57,3 +57,88 @@ def streaming_window_counts(
             "cnt",
         )
     )
+
+
+def streaming_band_check(
+    key_cols: Sequence[str],
+    window_size_s: float,
+    num_windows: int,
+    confidence_factor: float,
+    t0_epoch: float,
+    sink_dir: str,
+):
+    """foreachBatch body for an end-to-end streaming band alarm: each
+    micro-batch re-runs the BATCH band detector (frequency_bands over the
+    densified window counts) on the complete windowed-count state and
+    overwrites the alarm table — so at any point the alarms equal the batch
+    ``check_event_frequency`` over the data seen so far, given a
+    calendar-aligned anchor ``t0_epoch`` (the documented streaming
+    deviation: anchored ≡ calendar windows when t0 is aligned).
+
+    Use with ``.outputMode("complete")``; at cluster scale swap the
+    parquet overwrite for a Delta/Iceberg MERGE keyed on (key, w) and
+    update-mode input so state stays bounded by the watermark."""
+    from logdata_anomaly_miner_spark.operators.event_frequency import (
+        densify_counts,
+        frequency_bands,
+    )
+
+    def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        counts = batch_df.select(
+            *key_cols,
+            (
+                (F.col("win_start").cast("double") - F.lit(float(t0_epoch)))
+                / F.lit(float(window_size_s))
+            )
+            .cast("long")
+            .alias("w"),
+            "cnt",
+        )
+        dense = densify_counts(counts, key_cols)
+        banded = frequency_bands(dense, key_cols, num_windows, confidence_factor)
+        alarms = (
+            banded.filter(F.col("w") < F.col("w_last"))
+            .filter(F.col("n_hist") >= 1)
+            .filter((F.col("cnt") < F.col("lower")) | (F.col("cnt") > F.col("upper")))
+            .select(*key_cols, "w", "cnt", "lower", "upper")
+        )
+        alarms.write.mode("overwrite").parquet(sink_dir)
+
+    return on_batch
+
+
+def run_streaming_band_check(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    window_size_s: float,
+    num_windows: int,
+    confidence_factor: float,
+    t0_epoch: float,
+    sink_dir: str,
+    ts_col: str = "ts",
+    watermark_s: float = 600.0,
+    await_seconds: int | None = None,
+):
+    """Wire streaming_window_counts into the foreachBatch band check and
+    run it (availableNow trigger processes everything currently readable,
+    then stops — the batch-parity harness; drop the trigger for a
+    continuous job)."""
+    counts = streaming_window_counts(
+        stream, key_cols, window_size_s, watermark_s, ts_col
+    )
+    query = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(
+            streaming_band_check(
+                key_cols, window_size_s, num_windows, confidence_factor,
+                t0_epoch, sink_dir,
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_seconds is not None:
+        query.awaitTermination(await_seconds)
+    return query

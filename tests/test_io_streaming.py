@@ -182,3 +182,45 @@ def test_streaming_new_values(spark):
             (r["target"], r["value"]) for r in spark.sql("select * from new_vals").collect()
         )
         assert rows == [("p1", "x"), ("p1", "y"), ("p2", "x")]
+
+
+def test_streaming_band_alarms_equal_batch(spark):
+    """End-to-end streaming band check (VERDICT item 8): the foreachBatch
+    alarm table after an availableNow run must equal the batch
+    check_event_frequency output on the calendar-aligned anchor fixture."""
+    from logdata_anomaly_miner_spark.operators.event_frequency import (
+        check_event_frequency,
+    )
+    from logdata_anomaly_miner_spark.streaming.frequency import (
+        run_streaming_band_check,
+    )
+
+    t0 = 1_700_000_000.0  # multiple of 10 -> calendar-aligned 10s windows
+    rows = []
+    for w in range(6):  # steady 2 events per window for both keys
+        for k in ("a", "b"):
+            rows += [(t0 + w * 10 + 1, k), (t0 + w * 10 + 2, k)]
+    rows += [(t0 + 61 + i * 0.5, "a") for i in range(9)]  # burst in w6 for a
+    rows += [(t0 + 62, "b"), (t0 + 63, "b")]
+    rows += [(t0 + 71, "a"), (t0 + 72, "a"), (t0 + 71, "b"), (t0 + 72, "b")]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "ts double, k string").write.parquet(f"{d}/in")
+        stream = spark.readStream.schema("ts double, k string").parquet(f"{d}/in")
+        run_streaming_band_check(
+            stream, ["k"], 10.0, num_windows=5, confidence_factor=0.51,
+            t0_epoch=t0, sink_dir=f"{d}/alarms", await_seconds=120,
+        )
+        got = {
+            (r["k"], r["w"]): (r["cnt"], round(r["lower"], 9), round(r["upper"], 9))
+            for r in spark.read.parquet(f"{d}/alarms").collect()
+        }
+    batch = check_event_frequency(
+        spark.createDataFrame(rows, "ts double, k string"),
+        ["k"], 10.0, num_windows=5, confidence_factor=0.51,
+    )
+    want = {
+        (r["k"], r["w"]): (r["cnt"], round(r["lower"], 9), round(r["upper"], 9))
+        for r in batch.collect()
+    }
+    assert got == want
+    assert ("a", 6) in got  # the planted burst actually alarms
