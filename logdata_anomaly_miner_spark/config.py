@@ -28,6 +28,13 @@ _DEFAULTS: dict[str, Any] = {
     ],
     "entropy": {"prob_thresh": 0.001},
     "drift": {"psi_threshold": 0.2, "buckets": 10, "len_bounds": [0.0, 200.0]},
+    # learn-mode lifecycle + path screening (reference detector options
+    # stop_learning_time / stop_learning_no_anomaly_time / ignore_list)
+    "lifecycle": {
+        "stop_learning_time": None,
+        "stop_learning_no_anomaly_time": None,
+        "ignore_kinds": [],
+    },
     "checks": ["uniqueness", "referential", "schema", "new_value", "entropy", "drift"],
 }
 _KNOWN_CHECKS = set(_DEFAULTS["checks"])
@@ -96,11 +103,21 @@ def to_suite_config(spec: dict[str, Any], **baselines):
     from logdata_anomaly_miner_spark.constraints.suite import SuiteConfig
 
     lo, hi = spec["drift"]["len_bounds"]
+    lc = spec["lifecycle"]
     return SuiteConfig(
         kind_vocab=tuple(spec["kind_vocab"]),
         entropy_prob_thresh=float(spec["entropy"]["prob_thresh"]),
         drift_psi_threshold=float(spec["drift"]["psi_threshold"]),
         n_hist_buckets=int(spec["drift"]["buckets"]),
         text_len_bounds=(float(lo), float(hi)),
+        stop_learning_time=(
+            None if lc["stop_learning_time"] is None else float(lc["stop_learning_time"])
+        ),
+        stop_learning_no_anomaly_time=(
+            None
+            if lc["stop_learning_no_anomaly_time"] is None
+            else float(lc["stop_learning_no_anomaly_time"])
+        ),
+        ignore_kinds=tuple(lc["ignore_kinds"]),
         **baselines,
     )

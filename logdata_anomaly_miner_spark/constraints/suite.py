@@ -50,6 +50,13 @@ class SuiteConfig:
     entropy_freq: DataFrame | None = None        # bigram baseline (first, second, cnt)
     baseline_hist: DataFrame | None = None       # drift baseline (kind, bucket, cnt)
     text_len_bounds: tuple[float, float] = (0.0, 200.0)
+    # learn-mode lifecycle (operators/lifecycle.py): once learning stops,
+    # the novelty baseline FREEZES — every later unseen value alarms and
+    # nothing is learned from it (reference stop_learning_* semantics)
+    stop_learning_time: float | None = None
+    stop_learning_no_anomaly_time: float | None = None
+    # span kinds screened out of the value checks entirely (ignore_list)
+    ignore_kinds: tuple[str, ...] = ()
 
 
 @dataclass
@@ -150,14 +157,30 @@ def run_suite(
 
     # 4. novelty: first occurrence of unseen (kind, text). Shuffle carries
     # only the violation projection (4 narrow cols), not the full span row.
-    nv = check_new_values(
-        flat.filter(F.col("text").isNotNull()).select(
-            "kind", "text", "ts", "doc_id", "partition"
-        ),
-        ["kind", "text"],
-        cfg.known_kind_text,
-        order_cols=["ts", "doc_id"],
+    nv_src = flat.filter(F.col("text").isNotNull()).select(
+        "kind", "text", "ts", "doc_id", "partition"
     )
+    if cfg.ignore_kinds:
+        nv_src = nv_src.filter(~F.col("kind").isin(list(cfg.ignore_kinds)))
+    if cfg.stop_learning_time is not None or cfg.stop_learning_no_anomaly_time is not None:
+        from logdata_anomaly_miner_spark.operators.lifecycle import split_learn_check
+        from logdata_anomaly_miner_spark.operators.new_value import learn_values
+
+        learn_df, check_df = split_learn_check(
+            nv_src, "ts", cfg.stop_learning_time, cfg.stop_learning_no_anomaly_time
+        )
+        nv1 = check_new_values(
+            learn_df, ["kind", "text"], cfg.known_kind_text, order_cols=["ts", "doc_id"]
+        )
+        learned = learn_values(learn_df, ["kind", "text"], cfg.known_kind_text)
+        # learn_mode off: EVERY occurrence of an unlearned value alarms
+        # (the reference alarms per atom once learning stopped)
+        nv2 = check_df.join(learned, ["kind", "text"], "left_anti")
+        nv = nv1.select(*nv_src.columns).unionByName(nv2.select(*nv_src.columns))
+    else:
+        nv = check_new_values(
+            nv_src, ["kind", "text"], cfg.known_kind_text, order_cols=["ts", "doc_id"]
+        )
     checks.append(_viol(nv, "new_value", "New value(s) detected"))
 
     # 5. entropy: dedup-before-compute — learn and score over DISTINCT texts

@@ -102,3 +102,29 @@ def test_checkpoint_manifest(spark):
         df = m.read()
         assert df.count() == 3
         assert df.filter("snapshot_id = 1").agg(F.sum("rows_scanned")).collect()[0][0] == 150
+
+
+def test_suite_lifecycle_freeze_and_ignore(spark):
+    """Suite-spec lifecycle wiring: stop_learning_no_anomaly_time freezes
+    the novelty baseline at the first gap, so every later unseen value
+    alarms (per occurrence); ignore_kinds screens spans out entirely."""
+    from logdata_anomaly_miner_spark.config import to_suite_config, validate_spec
+    from logdata_anomaly_miner_spark.constraints.suite import run_suite
+    from logdata_anomaly_miner_spark.datagen import gen_documents, gen_media
+
+    spec = validate_spec(
+        {"suite": {"lifecycle": {"stop_learning_no_anomaly_time": 3600.0,
+                                 "ignore_kinds": ["footnote"]}}}
+    )
+    cfg = to_suite_config(spec)
+    assert cfg.stop_learning_no_anomaly_time == 3600.0
+    assert cfg.ignore_kinds == ("footnote",)
+    docs = gen_documents(spark, n_docs=300, seed=11)
+    media = gen_media(spark, 1000)
+    res = run_suite(spark, docs, media, cfg, persist=False)
+    base = run_suite(spark, docs, media, None, persist=False)
+    nv_lc = res.violations.filter("suite = 'new_value'").count()
+    nv_base = base.violations.filter("suite = 'new_value'").count()
+    # the synthetic docs all fall within one dense time range -> no gap ->
+    # learning never stops -> same novelty set minus the screened kind
+    assert nv_lc <= nv_base
