@@ -537,11 +537,13 @@ def q_variable_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_jaccard_pairs_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The xxhash64 MinHash SCALE variant end-to-end: integer signatures
-    (no md5 hex strings in the shuffle), 16 bands x 2 rows, exact-jaccard
-    verification. The oracle is the GROUND-TRUTH inverted-index jaccard
-    (no banding replication possible — DuckDB has no xxhash64), so a green
-    row certifies 100%% recall of this banding at the 0.85 threshold
-    (miss probability ~1e-11 per pair at jaccard 0.88)."""
+    computed as ONE wide aggregation (no md5 hex strings, no seed row
+    explosion), 10 bands x 3 rows, exact-jaccard verification restricted
+    to candidate docs. The oracle is the GROUND-TRUTH inverted-index
+    jaccard (no banding replication possible — DuckDB has no xxhash64), so
+    a green row certifies 100%% recall of this banding at the 0.85
+    threshold (miss probability ~6e-6 per pair at jaccard 0.88; 3-row
+    bands keep false candidates ~|true pairs|, unlike 2-row bands)."""
     from logdata_anomaly_miner_spark.functions.dedup import (
         lsh_candidate_pairs,
         minhash_signatures_xx,
@@ -549,8 +551,8 @@ def q_jaccard_pairs_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _read(spark, sf_dir, "documents")
-    sig = minhash_signatures_xx(docs, "doc_id", "text", n_hashes=32, shingle_k=3)
-    cand = lsh_candidate_pairs(sig, "doc_id", bands=16, rows_per_band=2)
+    sig = minhash_signatures_xx(docs, "doc_id", "text", n_hashes=30, shingle_k=3)
+    cand = lsh_candidate_pairs(sig, "doc_id", bands=10, rows_per_band=3)
     pairs = ngram_jaccard_pairs(docs, cand, "doc_id", "text", 3, 0.85)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 

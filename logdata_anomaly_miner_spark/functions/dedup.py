@@ -95,26 +95,34 @@ def minhash_signatures_xx(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Scale variant of ``minhash_signatures``: min over shingles of
-    xxhash64(seed, shingle) (a signed long). One JVM-side hash per
-    (seed, shingle) instead of an md5 hex string — no string materialization
-    in the shuffle and integer min aggregation; the banding/bucketing
-    pipeline is identical. md5 stays the portable ORACLE form (DuckDB has
-    md5 but not xxhash64); signatures differ between the two variants but
-    both are valid MinHash families."""
+    xxhash64(seed, shingle) (a signed long). Unlike the md5 oracle form,
+    the seeds are NOT exploded: all n_hashes minima are computed as ONE
+    wide aggregation over the shingle rows (n_hashes min() columns with
+    map-side partial aggregation), so the shuffle carries |docs| rows of
+    longs instead of |shingles|·n_hashes rows of hex strings. The
+    (id, seed, minhash) shape is restored afterwards with stack() — a
+    |docs|·n_hashes expansion AFTER aggregation, feeding the same
+    banding/bucketing pipeline. md5 stays the portable ORACLE form (DuckDB
+    has md5 but not xxhash64); both are valid MinHash families."""
     ex = df.select(
         F.col(id_col).alias("_id"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
     )
-    seeded = ex.select(
-        "_id",
-        F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed"),
-        F.col("sh"),
+    # one string hash per shingle; the n_hashes family is derived from it
+    # with fixed-width long re-hashes (12 bytes each) — ~n_hashes× cheaper
+    # than hashing the shingle string n_hashes times, same MinHash property
+    # (identical shingle sets -> identical signatures).
+    base = F.xxhash64(F.col("sh"))
+    agg = ex.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), base)).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
     )
-    return (
-        seeded.withColumn("h", F.xxhash64(F.col("seed"), F.col("sh")))
-        .groupBy("_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-        .withColumnRenamed("_id", id_col)
+    stack_args = ", ".join(f"{i}, _h{i}" for i in range(n_hashes))
+    return agg.selectExpr(
+        f"_id as {id_col}",
+        f"stack({n_hashes}, {stack_args}) as (seed, minhash)",
     )
 
 
@@ -165,7 +173,26 @@ def ngram_jaccard_pairs(
     pairs whose overlap consists exclusively of capped stop-shingles are
     missed (those have near-zero Jaccard by construction when the cap ≫
     doc count × threshold)."""
-    sh = df.select(
+    src = df
+    if candidates is not None:
+        # the candidate set is referenced three times below (id filter +
+        # both sides of the intersection join); persist it so its upstream
+        # (e.g. the whole MinHash/LSH pipeline) runs once, not three times
+        # (Catalyst does not CSE duplicated subplans). It is tiny —
+        # proportional to true near-dups.
+        candidates = candidates.persist()
+        # only candidate docs need shingling at all — semi-join the (tiny)
+        # candidate id set onto the corpus BEFORE the explode, so the
+        # verification cost is O(|candidate docs|), not O(|corpus|)
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("_cid"))
+            .unionByName(candidates.select(F.col("id_b").alias("_cid")))
+            .dropDuplicates()
+        )
+        src = df.join(
+            F.broadcast(cand_ids), F.col(id_col) == F.col("_cid"), "left_semi"
+        )
+    sh = src.select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_k).alias("sh")
     )
     sizes = sh.select("_id", F.size("sh").alias("n"))
