@@ -73,9 +73,13 @@ def main() -> None:
         media = gen_media(spark, 1000)
         t0 = time.time()
         docs = spark.read.parquet(docs_path)
+        # persist=False for parquet-backed input: the cache build is
+        # memory-bandwidth-bound and does not scale with cores, while the
+        # pruned columnar re-scan does (measured: 8->32 speedup 1.26x
+        # without the cache vs 1.01x with it, same input).
         res = run_suite(
             spark, docs, media, SuiteConfig(entropy_prob_thresh=0.0001),
-            persist=True,
+            persist=False,
         )
         force(res.verdicts)
         suite_wall = time.time() - t0

@@ -709,6 +709,27 @@ def q_var_sgof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsa_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSAArimaDetector analog (reference :32-560 simplified to AR(1) —
+    statsmodels-free): least-squares autoregression per event type over the
+    anchored window counts, |residual| > z*sigma flags."""
+    from logdata_anomaly_miner_spark.operators.tsa import ar1_forecast_bands
+
+    ev = _events(spark, sf_dir)
+    counts = anchored_window_counts(ev, ["event_type"], 600.0, ts_col="es")
+    out = ar1_forecast_bands(counts, ["event_type"], z=1.96, min_train=10)
+    # each key's first window has no lag -> no prediction; emit only
+    # predicted rows (also keeps the compare free of null/float mixes)
+    return out.filter(F.col("pred").isNotNull()).select(
+        "event_type",
+        "w",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("pred", 6).alias("pred"),
+        F.round("sigma", 6).alias("sigma"),
+        "anomaly",
+    )
+
+
 def q_hypothesis_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EventCorrelationDetector hypothesis mining (reference :37-846):
     exhaustive A→B-within-delta hypotheses over event types, binomial
@@ -787,6 +808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "new_id_combos": q_new_id_combos,
     "implication": q_implication,
     "hypothesis_rules": q_hypothesis_rules,
+    "tsa_ar1": q_tsa_ar1,
     "var_gof": q_var_gof,
     "var_sgof": q_var_sgof,
     "early_exceeding": q_early_exceeding,
@@ -920,6 +942,36 @@ SELECT user_id, event_type, round(value, 6) AS value, round(ts, 6) AS first_ts
 FROM agg2 a
 WHERE NOT EXISTS (SELECT 1 FROM base b
                   WHERE b.event_type = a.event_type AND b.value = a.value)
+""",
+    "tsa_ar1": """
+WITH t0 AS (SELECT min(epoch_us(ts)/1000000.0) AS t0 FROM events),
+c AS (SELECT event_type, CAST(floor((epoch_us(ts)/1000000.0 - t0)/600.0) AS BIGINT) AS w,
+             count(*) AS cnt
+      FROM events CROSS JOIN t0 GROUP BY 1, 2),
+k AS (SELECT event_type, min(w) AS w0 FROM c GROUP BY 1),
+g AS (SELECT max(w) AS wm FROM c),
+spine AS (SELECT k.event_type, gs.w FROM k
+          CROSS JOIN (SELECT unnest(generate_series(0, (SELECT wm FROM g))) AS w) gs
+          WHERE gs.w >= k.w0),
+sp AS (SELECT s.event_type, s.w, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+       FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.w = s.w),
+d AS (SELECT event_type, w, cnt, CAST(cnt AS DOUBLE) AS y,
+             lag(CAST(cnt AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY w) AS x
+      FROM sp),
+fit AS (SELECT event_type,
+               coalesce(regr_slope(y, x), 0.0) AS s,
+               coalesce(regr_intercept(y, x), regr_avgy(y, x)) AS ic,
+               CAST(count(x) AS BIGINT) AS n_train
+        FROM d GROUP BY 1),
+sc AS (SELECT d.*, f.s, f.ic, f.n_train, f.ic + f.s * d.x AS pred
+       FROM d JOIN fit f USING (event_type)),
+sg AS (SELECT event_type, stddev_pop(y - pred) AS sigma
+       FROM sc WHERE x IS NOT NULL GROUP BY 1)
+SELECT sc.event_type, sc.w, sc.cnt, round(sc.pred, 6) AS pred,
+       round(sg.sigma, 6) AS sigma,
+       (sc.n_train >= 10 AND abs(sc.y - sc.pred) > 1.96 * sg.sigma) AS anomaly
+FROM sc JOIN sg USING (event_type)
+WHERE sc.pred IS NOT NULL
 """,
     "var_gof": """
 WITH ev AS (SELECT event_id, event_type AS g, value AS v FROM events WHERE value IS NOT NULL),

@@ -100,6 +100,38 @@ def decimal_float(name: str, allow_exponent: bool = True) -> Element:
     return Element(_grp(name, r"[+-]?\d+(?:\.\d+)?" + exp), name, caster="double")
 
 
+def decimal_float_modes(
+    name: str,
+    sign_type: str = "none",
+    pad_type: str = "none",
+    exponent_type: str = "none",
+) -> Element:
+    """DecimalFloatValueModelElement with the reference's full mode surface
+    (aminer/parsing/DecimalFloatValueModelElement.py:24-75):
+
+    - sign_type: 'none' (digits only), 'optional' (minus allowed),
+      'mandatory' (must start with + or -);
+    - pad_type: 'none' (no leading zeros except '0' / '0.x'),
+      'zero' (leading zeros allowed), 'blank' (leading spaces allowed);
+    - exponent_type: 'none' | 'optional' | 'mandatory'.
+    """
+    sign = {"none": "", "optional": "-?", "mandatory": "[+-]"}[sign_type]
+    strict_int = r"(?:0|[1-9]\d*)"
+    intpart = {
+        "none": strict_int,
+        "zero": r"\d+",
+        "blank": " *" + strict_int,
+    }[pad_type]
+    exp = {
+        "none": "",
+        "optional": r"(?:[eE][+-]?\d+)?",
+        "mandatory": r"[eE][+-]?\d+",
+    }[exponent_type]
+    return Element(
+        _grp(name, sign + intpart + r"(?:\.\d+)?" + exp), name, caster="double"
+    )
+
+
 def ip_address(name: str) -> Element:
     quad = r"\d{1,3}(?:\.\d{1,3}){3}"
     return Element(_grp(name, quad), name, caster="ip")
@@ -213,6 +245,37 @@ def _group_index(rx: str, name: str) -> int:
                 idx += 1
         i += 1
     raise KeyError(name)
+
+
+def repeated_items(col: Column, item_pattern: str, group: int = 1) -> Column:
+    """Per-item value recovery for ``repeated`` spans
+    (RepeatedElementDataModelElement): the whole repetition is captured as
+    one span (single-pass regex engines keep only the last iteration's
+    groups), then this extracts every item occurrence as an array —
+    array<string> ready for transform()/cast."""
+    return F.regexp_extract_all(col, F.lit(item_pattern), group)
+
+
+def parse_value_branches(
+    df: DataFrame,
+    discriminator_col: str,
+    branches: dict[str, "Element"],
+    raw_col: str = "raw",
+) -> DataFrame:
+    """ElementValueBranchModelElement (aminer/parsing/
+    ElementValueBranchModelElement.py:22-150): the VALUE of an already-
+    parsed element decides which sub-model parses the remainder. Columnar
+    form: filter rows per branch value, parse each subset with its branch
+    model, union the results (columns a branch does not produce are null —
+    exactly the reference's per-branch match dictionaries)."""
+    outs = [
+        parse(df.filter(F.col(discriminator_col) == val), raw_col, model)
+        for val, model in branches.items()
+    ]
+    combined = outs[0]
+    for o in outs[1:]:
+        combined = combined.unionByName(o, allowMissingColumns=True)
+    return combined
 
 
 # --------------------------------------------------------------------------

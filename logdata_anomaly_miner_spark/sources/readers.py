@@ -72,6 +72,46 @@ def unparsed_atoms(df: DataFrame) -> DataFrame:
     return df.filter(~F.col("_parse_ok"))
 
 
+def parse_json_string_field(
+    df: DataFrame,
+    field_col: str,
+    schema: T.StructType,
+    out_col: str = "nested",
+) -> DataFrame:
+    """JsonStringModelElement nested re-parse (aminer/parsing/
+    JsonStringModelElement.py): a JSON document embedded as a STRING value
+    inside an already-parsed structure gets its own schema-driven parse.
+    Adds ``out_col`` (struct) and ``<out_col>_ok``."""
+    inner = F.from_json(F.col(field_col), schema)
+    as_map = F.from_json(F.col(field_col), T.MapType(T.StringType(), T.StringType()))
+    return df.withColumn(out_col, inner).withColumn(f"{out_col}_ok", as_map.isNotNull())
+
+
+def parse_xml_atoms(
+    df: DataFrame,
+    schema: T.StructType,
+    raw_col: str = "raw",
+    row_tag_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """XmlModelElement analog (reference aminer/parsing/XmlModelElement.py:
+    45-406 — XML log atoms matched against a typed element dict): Spark 4's
+    native from_xml maps each raw XML atom onto ``schema``; adds ``parsed``
+    struct and ``_parse_ok``.
+
+    The reference's per-path optionality ≙ nullable struct fields;
+    attributes are addressed with from_xml's ``attributePrefix`` (default
+    ``_``) so <a id="x"> surfaces as field ``_id``. Malformed XML yields an
+    all-null struct in PERMISSIVE mode — detected by requiring at least one
+    non-null top-level field (same signal the reference's parse failure
+    gives via non-match)."""
+    opts = {"mode": "PERMISSIVE", **(row_tag_options or {})}
+    parsed = F.from_xml(F.col(raw_col), schema, opts)
+    ok = F.lit(False)
+    for fld in schema.fields:
+        ok = ok | parsed[fld.name].isNotNull()
+    return df.withColumn("parsed", parsed).withColumn("_parse_ok", ok)
+
+
 def read_documents(spark: SparkSession, path: str) -> DataFrame:
     """Canonical documents table (parquet/Iceberg dir)."""
     return spark.read.parquet(path)

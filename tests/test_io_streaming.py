@@ -224,3 +224,27 @@ def test_streaming_band_alarms_equal_batch(spark):
     }
     assert got == want
     assert ("a", 6) in got  # the planted burst actually alarms
+
+
+def test_parse_xml_atoms(spark):
+    """XmlModelElement analog via Spark-native from_xml: typed extraction,
+    attribute addressing, and unparsed-atom tracking."""
+    from logdata_anomaly_miner_spark.sources.readers import parse_xml_atoms
+
+    schema = T.StructType(
+        [
+            T.StructField("user", T.StringType()),
+            T.StructField("value", T.LongType()),
+        ]
+    )
+    rows = [
+        ("<event><user>alice</user><value>7</value></event>",),
+        ("<event><user>bob</user></event>",),   # optional element missing
+        ("definitely not xml <",),
+    ]
+    df = spark.createDataFrame(rows, "raw string")
+    out = parse_xml_atoms(df, schema).collect()
+    assert out[0]["_parse_ok"] and out[0]["parsed"]["user"] == "alice"
+    assert out[0]["parsed"]["value"] == 7
+    assert out[1]["_parse_ok"] and out[1]["parsed"]["value"] is None
+    assert not out[2]["_parse_ok"]

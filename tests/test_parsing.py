@@ -158,3 +158,97 @@ def test_datetime_multi_locale(spark):
     assert got[1] is not None and got[1].month == 2
     assert got[2] is not None and got[2].month == 10
     assert got[3] is None
+
+
+def test_decimal_float_modes(spark):
+    """DecimalFloatValueModelElement mode surface (reference :24-75)."""
+    from logdata_anomaly_miner_spark.parsing import (
+        compile_model,
+        decimal_float_modes,
+        parse,
+        seq,
+        fixed,
+    )
+    import re as _re
+
+    def matches(el, s):
+        # compile_model emits Java named groups (?<n>...); translate for re
+        rx = compile_model(el).replace("(?<", "(?P<")
+        return _re.fullmatch(rx, s) is not None
+
+    none = decimal_float_modes("v")
+    assert matches(none, "0") and matches(none, "0.5") and matches(none, "12.75")
+    assert not matches(none, "01") and not matches(none, "-1") and not matches(none, "1e3")
+    opt = decimal_float_modes("v", sign_type="optional")
+    assert matches(opt, "-3.2") and not matches(opt, "+3.2")
+    mand = decimal_float_modes("v", sign_type="mandatory")
+    assert matches(mand, "+3.2") and matches(mand, "-3.2") and not matches(mand, "3.2")
+    zero = decimal_float_modes("v", pad_type="zero")
+    assert matches(zero, "007.5")
+    blank = decimal_float_modes("v", pad_type="blank")
+    assert matches(blank, "  7.5")
+    eman = decimal_float_modes("v", exponent_type="mandatory")
+    assert matches(eman, "2.5e10") and not matches(eman, "2.5")
+    # typed extraction end-to-end
+    df = spark.createDataFrame([("x=007.25",)], "raw string")
+    out = parse(df, "raw", seq(fixed("x="), decimal_float_modes("v", pad_type="zero")))
+    assert out.collect()[0]["v"] == 7.25
+
+
+def test_repeated_items_per_item_values(spark):
+    from logdata_anomaly_miner_spark.parsing import (
+        decimal_integer,
+        fixed,
+        parse,
+        repeated,
+        repeated_items,
+        seq,
+    )
+    from pyspark.sql import functions as F
+
+    model = seq(fixed("ids:"), repeated(seq(decimal_integer("n"), fixed(";")),
+                                        min_n=1, name="items"))
+    df = spark.createDataFrame([("ids:1;22;333;",)], "raw string")
+    out = parse(df, "raw", model).withColumn(
+        "vals",
+        F.transform(repeated_items(F.col("items"), r"(\d+);"), lambda s: s.cast("long")),
+    )
+    assert out.collect()[0]["vals"] == [1, 22, 333]
+
+
+def test_parse_value_branches(spark):
+    """ElementValueBranchModelElement: the parsed discriminator routes each
+    row to its branch grammar; non-branch columns are null."""
+    from logdata_anomaly_miner_spark.parsing import (
+        any_bytes,
+        decimal_integer,
+        fixed,
+        parse,
+        parse_value_branches,
+        seq,
+        wordlist,
+    )
+
+    head = seq(wordlist("op", ["GET", "PUT"]), fixed(" "))
+    df = spark.createDataFrame([("GET /a 200",), ("PUT /b 17",)], "raw string")
+    parsed = parse(df, "raw", seq(head, any_bytes("rest")))
+    branches = {
+        "GET": seq(head, seq(fixed("/a "), decimal_integer("status"))),
+        "PUT": seq(head, seq(fixed("/b "), decimal_integer("nbytes"))),
+    }
+    out = {r["op"]: r for r in parse_value_branches(parsed, "op", branches).collect()}
+    assert out["GET"]["status"] == 200 and out["GET"]["nbytes"] is None
+    assert out["PUT"]["nbytes"] == 17 and out["PUT"]["status"] is None
+
+
+def test_parse_json_string_field(spark):
+    from logdata_anomaly_miner_spark.sources.readers import parse_json_string_field
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [('{"a": 1}',), ("not json",)], "payload string"
+    )
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    out = parse_json_string_field(df, "payload", schema).collect()
+    assert out[0]["nested"]["a"] == 1 and out[0]["nested_ok"]
+    assert not out[1]["nested_ok"]

@@ -1,0 +1,68 @@
+"""AR forecast-band detectors (TSAArimaDetector analog, reference
+TSAArimaDetector.py:32-560 simplified to least-squares AR)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from logdata_anomaly_miner_spark.operators.tsa import (
+    ar1_forecast_bands,
+    ar_forecast_bands,
+)
+
+
+def _series(spark, vals, key="k"):
+    return spark.createDataFrame(
+        [(key, w, float(c)) for w, c in enumerate(vals)], "k string, w long, cnt double"
+    )
+
+
+def test_ar1_matches_numpy_ols(spark):
+    """Slope/intercept/predictions must equal a plain numpy least-squares
+    fit of cnt_t on cnt_{t-1}."""
+    rng = np.random.RandomState(3)
+    vals = [10.0]
+    for _ in range(40):
+        vals.append(0.6 * vals[-1] + 4 + rng.uniform(-1, 1))
+    out = {r["w"]: r for r in ar1_forecast_bands(_series(spark, vals), ["k"]).collect()}
+    x = np.array(vals[:-1])
+    y = np.array(vals[1:])
+    slope = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    icept = y.mean() - slope * x.mean()
+    pred = icept + slope * x
+    sigma = float(np.sqrt(np.mean((y - pred) ** 2)))
+    for t in range(1, len(vals)):
+        assert out[t]["pred"] == pytest.approx(pred[t - 1], rel=1e-9)
+        assert out[t]["sigma"] == pytest.approx(sigma, rel=1e-9)
+    assert out[0]["pred"] is None and not out[0]["anomaly"]
+
+
+def test_ar1_flags_burst(spark):
+    vals = [10.0, 11.0] * 15 + [60.0, 10.0, 11.0]
+    out = {r["w"]: r["anomaly"] for r in ar1_forecast_bands(_series(spark, vals), ["k"]).collect()}
+    assert out[30] is True            # the burst
+    assert sum(out.values()) <= 3     # burst + its immediate aftershock only
+
+
+def test_ar1_constant_series_flat_forecast(spark):
+    """Zero regressor variance -> regr_slope null -> flat forecast at the
+    mean, no anomalies."""
+    out = ar1_forecast_bands(_series(spark, [5.0] * 25), ["k"]).collect()
+    assert all(not r["anomaly"] for r in out)
+    assert all(r["pred"] == 5.0 for r in out if r["pred"] is not None)
+
+
+def test_ar_p_flags_burst(spark):
+    rng = np.random.RandomState(7)
+    vals = []
+    prev = [10.0, 12.0, 9.0]
+    for _ in range(60):
+        nxt = 0.3 * prev[-1] + 0.2 * prev[-2] + 0.1 * prev[-3] + 5 + rng.uniform(-0.5, 0.5)
+        vals.append(nxt)
+        prev.append(nxt)
+    vals.append(100.0)  # burst at the end
+    out = {r["w"]: r for r in ar_forecast_bands(_series(spark, vals), ["k"], p=3).collect()}
+    assert out[len(vals) - 1]["anomaly"] is True
+    normal = [w for w, r in out.items() if r["anomaly"] and w != len(vals) - 1]
+    assert len(normal) <= 2
