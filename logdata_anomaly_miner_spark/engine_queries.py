@@ -500,6 +500,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (clustering scale path) — rows-only check like
+    ann_lsh: recall vs the exact scan is < 1 by construction (and the
+    KMeans codebook is float-reduction-order dependent), so no SQL oracle."""
+    from logdata_anomaly_miner_spark.functions.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    out = ivf_topk(
+        spark, emb, "embedding", [float(x) for x in qvec], k=10,
+        n_centroids=8, n_probe=3,
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logdata_anomaly_miner_spark.operators.variable_type import ks_statistic
 
@@ -834,6 +849,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_cos": q_near_dup_cos,
     "lang_scores": q_lang_scores,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "new_values": q_new_values,
     "new_combos": q_new_combos,
     "value_range": q_value_range,

@@ -131,3 +131,27 @@ def test_token_counts_and_fingerprint(spark):
     assert r["bpe"] == 6           # hello world , 42 times !
     want = sum(ord(c) * (i + 1) for i, c in enumerate("hello world, 42 times!")) % 1_000_000_007
     assert r["fp"] == want
+
+def test_ivf_topk_recall(spark):
+    """IVF ANN: on well-separated clusters the probe set covers the query's
+    neighborhood, so the top-k equals the exact scan's."""
+    import random
+
+    from logdata_anomaly_miner_spark.functions.similarity import cosine_topk, ivf_topk
+
+    rng = random.Random(5)
+    rows = []
+    centers = [(10.0, 0.0, 0.0), (0.0, 10.0, 0.0), (0.0, 0.0, 10.0)]
+    for i in range(240):
+        cx = centers[i % 3]
+        rows.append((i, [c + rng.uniform(-1, 1) for c in cx]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = [10.0, 0.5, 0.0]
+    exact = [r["vec_id"] for r in cosine_topk(df, "embedding", query, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(
+            spark, df, "embedding", query, k=10, n_centroids=6, n_probe=3
+        ).collect()
+    ]
+    assert approx == exact
