@@ -188,7 +188,12 @@ def run_suite(
     # spans with a broadcast semi-join on the (small) failing-text set.
     # Learning from distinct values ≙ the reference's skip_repetitions mode
     # (EntropyDetector.py:170-174).
-    texts = flat.filter(F.col("text").isNotNull()).select("text").dropDuplicates()
+    # persist the distinct texts regardless of the `persist` flag: the set
+    # is consumed twice (learner collect + scorer pass) and is far smaller
+    # than re-scanning + re-deduplicating the span view each time
+    texts = (
+        flat.filter(F.col("text").isNotNull()).select("text").dropDuplicates().persist()
+    )
     freq = cfg.entropy_freq
     if freq is None:
         freq, _ = learn_bigram_freq(texts, "text")

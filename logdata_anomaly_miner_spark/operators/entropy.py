@@ -72,6 +72,39 @@ def _bigram_pairs(value: Column) -> Column:
     )
 
 
+def _pair_counts_bytes(vals: DataFrame, value_col: str = "_v") -> DataFrame:
+    """(first, second, cnt) over UTF-8 byte bigrams — the learner hot path.
+
+    Instead of converting every character to an int code BEFORE aggregation
+    (hex + regex + per-char conv ≈ the whole suite's CPU at 10⁶+ texts),
+    each pair is a 2-byte BINARY slice of the 0xFF-padded encoding: 0xFF
+    never occurs in valid UTF-8, so it is a collision-free virtual
+    start/end byte (reference's -1). The padded binary is projected as a
+    real column first, so the slice lambda reads a row field (O(1)) rather
+    than re-evaluating concat per element. Code conversion happens AFTER
+    the aggregation, on ≤257² distinct pairs."""
+    pad = F.lit(bytes([0xFF]))
+    d = vals.withColumn(
+        "_pb", F.concat(pad, F.encode(F.col(value_col), "UTF-8"), pad)
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.octet_length(F.col("_pb")) - 1),
+        lambda i: F.substr(F.col("_pb"), i, F.lit(2)),
+    )
+    agg = (
+        d.select(F.explode(pairs).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hx = F.hex(F.col("p"))
+    to_code = lambda c: F.when(c == 255, F.lit(VIRTUAL)).otherwise(c)  # noqa: E731
+    return agg.select(
+        to_code(F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")).alias("first"),
+        to_code(F.conv(F.substring(hx, 3, 2), 16, 10).cast("int")).alias("second"),
+        "cnt",
+    )
+
+
 def learn_bigram_freq(
     df: DataFrame,
     value_col: str,
@@ -93,11 +126,7 @@ def learn_bigram_freq(
             new_seen = seen_values.unionByName(vals.select(F.col("_v").alias("value"))).dropDuplicates()
         else:
             new_seen = vals.select(F.col("_v").alias("value"))
-    counts = (
-        vals.select(F.explode(_bigram_pairs(F.col("_v"))).alias("p"))
-        .groupBy(F.col("p.first").alias("first"), F.col("p.second").alias("second"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    counts = _pair_counts_bytes(vals, "_v")
     if baseline is not None:
         counts = (
             baseline.unionByName(counts)
