@@ -724,6 +724,34 @@ def q_var_sgof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hypothesis_rules_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EventCorrelationDetector back_hypotheses (reference :37-846): 'A was
+    preceded by B within delta' — the backward rule family."""
+    from logdata_anomaly_miner_spark.operators.correlation import (
+        mine_implication_rules,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = mine_implication_rules(
+        ev,
+        "event_type",
+        ts_col="es",
+        order_cols=("event_id",),
+        max_delta=300.0,
+        p0=0.75,
+        alpha=0.05,
+        max_observations=150,
+        direction="back",
+    )
+    return out.select(
+        "a",
+        "b",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("n_true").cast("long").alias("n_true"),
+        "status",
+    )
+
+
 def q_tsa_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TSAArimaDetector analog (reference :32-560 simplified to AR(1) —
     statsmodels-free): least-squares autoregression per event type over the
@@ -823,6 +851,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "new_id_combos": q_new_id_combos,
     "implication": q_implication,
     "hypothesis_rules": q_hypothesis_rules,
+    "hypothesis_rules_back": q_hypothesis_rules_back,
     "tsa_ar1": q_tsa_ar1,
     "var_gof": q_var_gof,
     "var_sgof": q_var_sgof,
@@ -958,6 +987,32 @@ SELECT user_id, event_type, round(value, 6) AS value, round(ts, 6) AS first_ts
 FROM agg2 a
 WHERE NOT EXISTS (SELECT 1 FROM base b
                   WHERE b.event_type = a.event_type AND b.value = a.value)
+""",
+    "hypothesis_rules_back": """
+WITH ev AS (SELECT event_id, event_type, epoch_us(ts)/1000000.0 AS es FROM events),
+obs AS (SELECT event_type AS a, es AS ta,
+               row_number() OVER (PARTITION BY event_type ORDER BY es, event_id) AS rn
+        FROM ev QUALIFY rn <= 150),
+nob AS (SELECT a, CAST(count(*) AS BIGINT) AS n_obs FROM obs GROUP BY 1),
+conf AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_true FROM (
+           SELECT DISTINCT o.a, e.event_type AS b, o.rn
+           FROM obs o JOIN ev e
+             ON e.es < o.ta AND e.es >= o.ta - 300.0 AND e.event_type <> o.a)
+         GROUP BY 1, 2),
+types AS (SELECT DISTINCT event_type AS t FROM ev),
+thr AS (SELECT coalesce(150 - min(i), 150) AS thr FROM (
+          SELECT i, sum(exp(lgamma(151) - lgamma(i+1) - lgamma(151-i))
+                        * pow(1 - 0.75, i) * pow(0.75, 150 - i))
+                     OVER (ORDER BY i) AS c
+          FROM (SELECT unnest(generate_series(0, 150)) AS i))
+        WHERE c > (1 - 0.05))
+SELECT p.a, p.b, n.n_obs, coalesce(cf.n_true, 0) AS n_true,
+       CASE WHEN n.n_obs < 150 THEN 'undecided'
+            WHEN coalesce(cf.n_true, 0) >= (SELECT thr FROM thr) THEN 'rule'
+            ELSE 'rejected' END AS status
+FROM (SELECT x.t AS a, y.t AS b FROM types x, types y WHERE x.t <> y.t) p
+JOIN nob n ON n.a = p.a
+LEFT JOIN conf cf ON cf.a = p.a AND cf.b = p.b
 """,
     "tsa_ar1": """
 WITH t0 AS (SELECT min(epoch_us(ts)/1000000.0) AS t0 FROM events),

@@ -60,11 +60,14 @@ def mine_implication_rules(
     p0: float = 0.75,
     alpha: float = 0.05,
     max_observations: int = 150,
+    direction: str = "forward",
 ) -> DataFrame:
     """EventCorrelationDetector hypothesis mining, batch analog (reference
     EventCorrelationDetector.py:37-846, min_eval_true :124-149): every
-    ordered type pair (A→B) is a forward hypothesis "A is followed by B
-    within max_delta". A hypothesis is evaluated on the FIRST
+    ordered type pair (A→B) is a hypothesis — ``direction='forward'``
+    means "A is followed by B within max_delta" (forward_hypotheses),
+    ``direction='back'`` means "A was preceded by B within max_delta"
+    (back_hypotheses). A hypothesis is evaluated on the FIRST
     ``max_observations`` A-events (the reference's evaluation budget); it
     becomes a 'rule' when the count of confirmed observations reaches the
     binomial critical value min{k : P(Bin(n, p0) >= k) <= alpha}
@@ -96,12 +99,20 @@ def mine_implication_rules(
         )
     )
     ev = df.select(F.col(type_col).alias("b"), ts.alias("tb"))
+    if direction == "forward":
+        in_window = (F.col("tb") > F.col("ta")) & (
+            F.col("tb") <= F.col("ta") + F.lit(float(max_delta))
+        )
+    elif direction == "back":
+        in_window = (F.col("tb") < F.col("ta")) & (
+            F.col("tb") >= F.col("ta") - F.lit(float(max_delta))
+        )
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
     confirmed = (
         obs.join(
             ev,
-            (F.col("tb") > F.col("ta"))
-            & (F.col("tb") <= F.col("ta") + F.lit(float(max_delta)))
-            & (F.col("b") != F.col("a")),
+            in_window & (F.col("b") != F.col("a")),
         )
         .select("a", "b", "_rn")
         .dropDuplicates()
