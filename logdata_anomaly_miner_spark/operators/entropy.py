@@ -178,17 +178,19 @@ def score_entropy_pandas(
     bc = spark.sparkContext.broadcast(p)
 
     @F.pandas_udf(DoubleType())
-    def _score(vals: pd.Series) -> pd.Series:
-        # Fully vectorized over the Arrow batch: concatenate every value's
-        # byte codes once, build global (first, second) pair arrays with the
-        # virtual boundary char per value, then one fancy-indexed gather +
-        # segment mean via bincount. No per-value Python loop.
+    def _score(bins: pd.Series, byte_lens: pd.Series) -> pd.Series:
+        # Fully vectorized over the Arrow batch: the JVM already encoded the
+        # value to UTF-8 bytes (and computed per-value byte lengths), so the
+        # Python side is one b"".join + frombuffer — no per-row str.encode
+        # (which serialized the whole batch through Python objects and made
+        # the stage anti-scale under many workers). Pair arrays are built
+        # with the virtual boundary char per value, then one fancy-indexed
+        # gather + segment mean via bincount.
         mat = bc.value
-        isnull = vals.isna().to_numpy()
-        filled = vals.fillna("")
-        joined = "".join(filled.tolist())
-        codes = np.frombuffer(joined.encode("utf-8", "replace"), dtype=np.uint8)
-        lens = filled.str.encode("utf-8", "replace").str.len().to_numpy(dtype=np.int64)
+        isnull = bins.isna().to_numpy()
+        joined = b"".join(bins.dropna().tolist())
+        codes = np.frombuffer(joined, dtype=np.uint8)
+        lens = byte_lens.fillna(0).to_numpy(dtype=np.int64)
         n = len(lens)
         if n == 0:
             return pd.Series(np.empty(0, dtype=np.float64))
@@ -215,7 +217,13 @@ def score_entropy_pandas(
         out[isnull] = np.nan
         return pd.Series(out)
 
-    return df.withColumn("critical_val", _score(F.col(value_col)))
+    return df.withColumn(
+        "critical_val",
+        _score(
+            F.encode(F.col(value_col), "UTF-8"),
+            F.octet_length(F.col(value_col)),
+        ),
+    )
 
 
 def check_entropy(
