@@ -18,6 +18,7 @@ from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 NEW_VALUE_OUTPUT_SCHEMA = "target string, value string, first_ts double"
@@ -88,4 +89,54 @@ def streaming_missing_values(
         stateStructType=MISSING_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+VALUE_RANGE_OUTPUT_SCHEMA = (
+    "id string, ts double, value double, range_min double, range_max double"
+)
+VALUE_RANGE_STATE_SCHEMA = "mn double, mx double"
+
+
+def _value_range_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (ident,) = key
+    mn, mx = state.get if state.exists else (None, None)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for t, v in zip(pdf["ts"], pdf["value"]):
+            if v is None:
+                continue
+            v = float(v)
+            if mn is not None and (v < mn or v > mx):
+                out.append((ident, float(t), v, mn, mx))
+            mn = v if mn is None else min(mn, v)
+            mx = v if mx is None else max(mx, v)
+    state.update((mn, mx))
+    yield pd.DataFrame(
+        out, columns=["id", "ts", "value", "range_min", "range_max"]
+    )
+
+
+def streaming_value_range(
+    stream: DataFrame, id_col: str = "id", value_col: str = "value", ts_col: str = "ts"
+) -> DataFrame:
+    """True-streaming ValueRangeDetector (reference ValueRangeDetector.py:
+    74-164, learn_mode=True): per-id [min,max] lives in the Spark state
+    store; each event outside the range so far alarms WITH the pre-event
+    range (exactly the sequential check-then-learn order), then extends it.
+    Matches check_value_range_sequential batch-for-stream."""
+    renamed = stream.select(
+        F.col(id_col).alias("id"),
+        F.col(ts_col).cast("double").alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return renamed.groupBy("id").applyInPandasWithState(
+        _value_range_fn,
+        VALUE_RANGE_OUTPUT_SCHEMA,
+        VALUE_RANGE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )

@@ -248,3 +248,62 @@ def test_parse_xml_atoms(spark):
     assert out[0]["parsed"]["value"] == 7
     assert out[1]["_parse_ok"] and out[1]["parsed"]["value"] is None
     assert not out[2]["_parse_ok"]
+
+
+def test_streaming_value_range_matches_sequential(spark):
+    """Streaming ValueRangeDetector state operator vs the batch sequential
+    prefix check: identical alarms (value + the pre-event range)."""
+    import tempfile as _tf
+
+    from logdata_anomaly_miner_spark.operators.value_range import (
+        check_value_range_sequential,
+    )
+    from logdata_anomaly_miner_spark.streaming.state import streaming_value_range
+
+    rows = [
+        ("a", 1.0, 5.0), ("a", 2.0, 9.0), ("a", 3.0, 7.0), ("a", 4.0, 12.0),
+        ("b", 1.5, 100.0), ("b", 2.5, 90.0), ("b", 3.5, 95.0),
+    ]
+    with _tf.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "id string, ts double, value double").coalesce(
+            1
+        ).write.parquet(f"{d}/in")
+        stream = spark.readStream.schema("id string, ts double, value double").parquet(
+            f"{d}/in"
+        )
+        q = (
+            streaming_value_range(stream)
+            .writeStream.format("memory").queryName("vr_alarms")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["id"], r["ts"]): (r["value"], r["range_min"], r["range_max"])
+            for r in spark.sql("select * from vr_alarms").collect()
+        }
+    batch_df = spark.createDataFrame(rows, "id string, ts double, value double")
+    viol, _ = check_value_range_sequential(batch_df, ["id"], "value", ("ts",))
+    want = {}
+    for r in viol.collect():
+        import json as _json
+
+        det = _json.loads(r["detail"])
+        want[(r["id"], r["ts"])] = (det["value"], det["range_min"], det["range_max"])
+    assert got == want and len(got) >= 3
+
+
+def test_partition_distinct_sketches_merge(spark):
+    """Mergeable HLL sketch stats: per-partition sketches union to a global
+    estimate within HLL error of the exact distinct count."""
+    from logdata_anomaly_miner_spark.constraints.column_stats import (
+        merged_distinct_counts,
+        partition_distinct_sketches,
+    )
+
+    rows = [(f"p{i % 4}", i % 500, f"u{i % 137}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "part string, a long, b string")
+    sk = partition_distinct_sketches(df, "part", ["a", "b"])
+    assert sk.count() == 4
+    est = merged_distinct_counts(sk, ["a", "b"]).collect()[0]
+    assert abs(est["nd_a"] - 500) / 500 < 0.05
+    assert abs(est["nd_b"] - 137) / 137 < 0.05
