@@ -844,7 +844,11 @@ def q_freq_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE: dict order is bench execution order — a cheap scan-only query goes
+# first so the session's one-time costs (python worker spawn, parquet
+# footer reads, broadcast infra) don't inflate an expensive query's timing.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "parser_count": q_parser_count,
     "jaccard_pairs_xx": q_jaccard_pairs_xx,
     "value_range_lifecycle": q_value_range_lifecycle,
     "new_combos_enhanced": q_new_combos_enhanced,
@@ -862,7 +866,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "variable_types": q_variable_types,
     "monotonic_adjust": q_monotonic_adjust,
     "timestamps_unsorted": q_timestamps_unsorted,
-    "parser_count": q_parser_count,
     "hour_histogram": q_hour_histogram,
     "avg_change": q_avg_change,
     "match_filter": q_match_filter,
