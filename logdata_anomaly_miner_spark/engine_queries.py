@@ -535,6 +535,31 @@ def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.round("chi2", 6).alias("chi2"), F.col("dof").cast("long").alias("dof"))
 
 
+def q_chi2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariableCorrelationDetector pair discovery (reference :15-1642):
+    all-pairs chi-square independence with Wilson-Hilferty significance."""
+    from logdata_anomaly_miner_spark.operators.correlation import chi_square_pairs
+
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("user_bucket", (F.col("user_id") % 5).cast("string"))
+        .withColumn("vbin", F.floor(F.col("value") / 50).cast("string"))
+        .withColumn(
+            "hour",
+            F.floor(F.pmod(F.col("es"), F.lit(86400.0)) / 3600.0).cast("string"),
+        )
+    )
+    out = chi_square_pairs(ev, ["event_type", "user_bucket", "vbin", "hour"])
+    return out.select(
+        "col_a",
+        "col_b",
+        F.round("chi2", 6).alias("chi2"),
+        F.col("dof").cast("long").alias("dof"),
+        F.round("z", 6).alias("z"),
+        "dependent",
+    )
+
+
 def q_variable_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logdata_anomaly_miner_spark.operators.variable_type import infer_variable_types
 
@@ -863,6 +888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "freq_seasonal": q_freq_seasonal,
     "ks_drift": q_ks_drift,
     "chi2": q_chi2,
+    "chi2_pairs": q_chi2_pairs,
     "variable_types": q_variable_types,
     "monotonic_adjust": q_monotonic_adjust,
     "timestamps_unsorted": q_timestamps_unsorted,
@@ -1356,6 +1382,87 @@ tied AS (SELECT event_type, v,
 SELECT t.event_type, round(max(abs(t.ca * 1.0 / c.na - t.cb * 1.0 / c.nb)), 6) AS ks
 FROM tied t JOIN c ON t.event_type = c.event_type
 GROUP BY t.event_type
+""",
+    "chi2_pairs": """
+WITH src AS (SELECT event_type,
+                    CAST(user_id % 5 AS VARCHAR) AS user_bucket,
+                    CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR) AS vbin,
+                    CAST(CAST(floor((epoch_us(ts)/1000000.0 % 86400.0) / 3600.0) AS BIGINT) AS VARCHAR) AS hour
+             FROM events)
+SELECT col_a, col_b, round(chi2, 6) AS chi2, CAST(dof AS BIGINT) AS dof,
+       round((pow(chi2 / CAST(dof AS DOUBLE), 1.0/3.0)
+              - (1.0 - 2.0/(9.0 * CAST(dof AS DOUBLE))))
+             / sqrt(2.0/(9.0 * CAST(dof AS DOUBLE))), 6) AS z,
+       ((pow(chi2 / CAST(dof AS DOUBLE), 1.0/3.0)
+         - (1.0 - 2.0/(9.0 * CAST(dof AS DOUBLE))))
+        / sqrt(2.0/(9.0 * CAST(dof AS DOUBLE))) > 1.6448536269514722) AS dependent
+FROM (
+  SELECT 'event_type' AS col_a, 'user_bucket' AS col_b,
+         sum((cnt - ra * rb * 1.0 / n) ** 2 / (ra * rb * 1.0 / n)) AS chi2,
+         (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof
+  FROM (
+    SELECT ra.a, rb.b, ra.ra, rb.rb, coalesce(o.cnt, 0) AS cnt, n.n
+    FROM (SELECT a, sum(cnt) AS ra FROM (SELECT event_type AS a, user_bucket AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) ra
+    CROSS JOIN (SELECT b, sum(cnt) AS rb FROM (SELECT event_type AS a, user_bucket AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) rb
+    CROSS JOIN (SELECT sum(cnt) AS n FROM (SELECT event_type AS a, user_bucket AS b, count(*) AS cnt FROM src GROUP BY 1, 2)) n
+    LEFT JOIN (SELECT event_type AS a, user_bucket AS b, count(*) AS cnt FROM src GROUP BY 1, 2) o ON o.a = ra.a AND o.b = rb.b
+  )
+  UNION ALL
+  SELECT 'event_type' AS col_a, 'vbin' AS col_b,
+         sum((cnt - ra * rb * 1.0 / n) ** 2 / (ra * rb * 1.0 / n)) AS chi2,
+         (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof
+  FROM (
+    SELECT ra.a, rb.b, ra.ra, rb.rb, coalesce(o.cnt, 0) AS cnt, n.n
+    FROM (SELECT a, sum(cnt) AS ra FROM (SELECT event_type AS a, vbin AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) ra
+    CROSS JOIN (SELECT b, sum(cnt) AS rb FROM (SELECT event_type AS a, vbin AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) rb
+    CROSS JOIN (SELECT sum(cnt) AS n FROM (SELECT event_type AS a, vbin AS b, count(*) AS cnt FROM src GROUP BY 1, 2)) n
+    LEFT JOIN (SELECT event_type AS a, vbin AS b, count(*) AS cnt FROM src GROUP BY 1, 2) o ON o.a = ra.a AND o.b = rb.b
+  )
+  UNION ALL
+  SELECT 'event_type' AS col_a, 'hour' AS col_b,
+         sum((cnt - ra * rb * 1.0 / n) ** 2 / (ra * rb * 1.0 / n)) AS chi2,
+         (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof
+  FROM (
+    SELECT ra.a, rb.b, ra.ra, rb.rb, coalesce(o.cnt, 0) AS cnt, n.n
+    FROM (SELECT a, sum(cnt) AS ra FROM (SELECT event_type AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) ra
+    CROSS JOIN (SELECT b, sum(cnt) AS rb FROM (SELECT event_type AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) rb
+    CROSS JOIN (SELECT sum(cnt) AS n FROM (SELECT event_type AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2)) n
+    LEFT JOIN (SELECT event_type AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) o ON o.a = ra.a AND o.b = rb.b
+  )
+  UNION ALL
+  SELECT 'user_bucket' AS col_a, 'vbin' AS col_b,
+         sum((cnt - ra * rb * 1.0 / n) ** 2 / (ra * rb * 1.0 / n)) AS chi2,
+         (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof
+  FROM (
+    SELECT ra.a, rb.b, ra.ra, rb.rb, coalesce(o.cnt, 0) AS cnt, n.n
+    FROM (SELECT a, sum(cnt) AS ra FROM (SELECT user_bucket AS a, vbin AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) ra
+    CROSS JOIN (SELECT b, sum(cnt) AS rb FROM (SELECT user_bucket AS a, vbin AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) rb
+    CROSS JOIN (SELECT sum(cnt) AS n FROM (SELECT user_bucket AS a, vbin AS b, count(*) AS cnt FROM src GROUP BY 1, 2)) n
+    LEFT JOIN (SELECT user_bucket AS a, vbin AS b, count(*) AS cnt FROM src GROUP BY 1, 2) o ON o.a = ra.a AND o.b = rb.b
+  )
+  UNION ALL
+  SELECT 'user_bucket' AS col_a, 'hour' AS col_b,
+         sum((cnt - ra * rb * 1.0 / n) ** 2 / (ra * rb * 1.0 / n)) AS chi2,
+         (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof
+  FROM (
+    SELECT ra.a, rb.b, ra.ra, rb.rb, coalesce(o.cnt, 0) AS cnt, n.n
+    FROM (SELECT a, sum(cnt) AS ra FROM (SELECT user_bucket AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) ra
+    CROSS JOIN (SELECT b, sum(cnt) AS rb FROM (SELECT user_bucket AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) rb
+    CROSS JOIN (SELECT sum(cnt) AS n FROM (SELECT user_bucket AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2)) n
+    LEFT JOIN (SELECT user_bucket AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) o ON o.a = ra.a AND o.b = rb.b
+  )
+  UNION ALL
+  SELECT 'vbin' AS col_a, 'hour' AS col_b,
+         sum((cnt - ra * rb * 1.0 / n) ** 2 / (ra * rb * 1.0 / n)) AS chi2,
+         (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof
+  FROM (
+    SELECT ra.a, rb.b, ra.ra, rb.rb, coalesce(o.cnt, 0) AS cnt, n.n
+    FROM (SELECT a, sum(cnt) AS ra FROM (SELECT vbin AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) ra
+    CROSS JOIN (SELECT b, sum(cnt) AS rb FROM (SELECT vbin AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) rb
+    CROSS JOIN (SELECT sum(cnt) AS n FROM (SELECT vbin AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2)) n
+    LEFT JOIN (SELECT vbin AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) o ON o.a = ra.a AND o.b = rb.b
+  )
+)
 """,
     "chi2": """
 WITH src AS (SELECT event_type AS a, CAST(user_id % 5 AS VARCHAR) AS b FROM events),

@@ -17,6 +17,8 @@ range-join core implemented here as ``implication_within``.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,6 +51,43 @@ def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         (F.countDistinct("a") - 1) * (F.countDistinct("b") - 1)
     )
     return j.agg(F.sum("term").alias("chi2"), dof.alias("dof"))
+
+
+def chi_square_pairs(
+    df: DataFrame, cols: Sequence[str], alpha_z: float = 1.6448536269514722
+) -> DataFrame:
+    """VariableCorrelationDetector pair discovery
+    (aminer/analysis/VariableCorrelationDetector.py:15-1642): test EVERY
+    unordered column pair for independence; one output row per pair with
+    (col_a, col_b, chi2, dof, z, dependent).
+
+    Significance without scipy: the Wilson–Hilferty cube-root normal
+    approximation z = ((χ²/k)^⅓ − (1 − 2/(9k))) / √(2/(9k)); dependent ⟺
+    z > z_α (default α=0.05 one-sided). The same closed form evaluates in
+    the DuckDB oracle. Pairs are few (|cols| choose 2), so the union of
+    per-pair single-row aggregates is the whole plan — each pair's
+    contingency is one groupBy."""
+    outs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            one = chi_square(df, a, b).select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                "chi2",
+                "dof",
+            )
+            outs.append(one)
+    combined = outs[0]
+    for o in outs[1:]:
+        combined = combined.unionByName(o)
+    k = F.col("dof").cast("double")
+    z = (
+        F.pow(F.col("chi2") / k, F.lit(1.0 / 3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * k))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * k))
+    return combined.withColumn("z", z).withColumn(
+        "dependent", F.col("z") > F.lit(float(alpha_z))
+    )
 
 
 def mine_implication_rules(

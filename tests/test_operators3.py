@@ -143,3 +143,24 @@ def test_pca_detector(spark):
     anomalies = check_pca_anomalies(df, "typ", window_size=10.0, k=1)
     ws = [r["w"] for r in anomalies.collect()]
     assert ws == [20]
+
+
+def test_chi_square_pairs(spark):
+    """All-pairs independence: a perfectly dependent pair flags, an
+    independent pair does not (Wilson-Hilferty normal approximation)."""
+    import random
+
+    from logdata_anomaly_miner_spark.operators.correlation import chi_square_pairs
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(800):
+        a = rng.choice(["x", "y", "z"])
+        dep = {"x": "p", "y": "q", "z": "r"}[a]      # b fully determined by a
+        ind = rng.choice(["u", "v"])                  # c independent of a
+        rows.append((a, dep, ind))
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    out = {(r["col_a"], r["col_b"]): r for r in chi_square_pairs(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")]["dependent"] is True
+    assert out[("a", "c")]["dependent"] is False
+    assert out[("a", "b")]["chi2"] > out[("a", "c")]["chi2"]
