@@ -137,6 +137,28 @@ def ip_address(name: str) -> Element:
     return Element(_grp(name, quad), name, caster="ip")
 
 
+def ip_address_v6(name: str) -> Element:
+    """IPv6 form of IpAddressDataModelElement (reference
+    aminer/parsing/IpAddressDataModelElement.py:19-120 with ipv6=True):
+    full and ::-compressed textual forms. The typed value is the matched
+    string (Spark has no 128-bit integral; the reference's packed-bytes
+    match_object ≙ the canonical text here)."""
+    h = r"[0-9a-fA-F]{1,4}"
+    pat = (
+        rf"(?:{h}:){{7}}{h}"
+        rf"|(?:{h}:){{1,7}}:"
+        rf"|(?:{h}:){{1,6}}:{h}"
+        rf"|(?:{h}:){{1,5}}(?::{h}){{1,2}}"
+        rf"|(?:{h}:){{1,4}}(?::{h}){{1,3}}"
+        rf"|(?:{h}:){{1,3}}(?::{h}){{1,4}}"
+        rf"|(?:{h}:){{1,2}}(?::{h}){{1,5}}"
+        rf"|{h}:(?::{h}){{1,6}}"
+        rf"|:(?::{h}){{1,7}}"
+        rf"|::"
+    )
+    return Element(_grp(name, f"(?:{pat})"), name)
+
+
 def datetime_el(name: str, fmt: str, pattern: str) -> Element:
     """pattern matches the textual form; fmt is the Spark datetime pattern
     used for the typed value (to_timestamp)."""

@@ -252,3 +252,19 @@ def test_parse_json_string_field(spark):
     out = parse_json_string_field(df, "payload", schema).collect()
     assert out[0]["nested"]["a"] == 1 and out[0]["nested_ok"]
     assert not out[1]["nested_ok"]
+
+
+def test_ip_address_v6(spark):
+    from logdata_anomaly_miner_spark.parsing import fixed, ip_address_v6, parse, seq
+
+    model = seq(fixed("src="), ip_address_v6("ip6"))
+    rows = [
+        ("src=2001:db8:0:0:0:0:2:1",),
+        ("src=2001:db8::2:1",),
+        ("src=::1",),
+        ("src=fe80::1ff:fe23:4567:890a",),
+        ("src=not-an-ip",),
+    ]
+    out = parse(spark.createDataFrame(rows, "raw string"), "raw", model).collect()
+    assert [r["_parse_ok"] for r in out] == [True, True, True, True, False]
+    assert out[1]["ip6"] == "2001:db8::2:1"
