@@ -142,3 +142,50 @@ def run_streaming_band_check(
     if await_seconds is not None:
         query.awaitTermination(await_seconds)
     return query
+
+
+def streaming_entropy_check(
+    spark,
+    value_col: str,
+    prob_thresh: float,
+    freq_dir: str,
+    alarms_dir: str,
+):
+    """foreachBatch body for a streaming EntropyDetector (reference
+    EntropyDetector.py:29-195): each micro-batch is SCORED against the
+    bigram freq table learned from all PREVIOUS batches (the reference's
+    check-then-learn order per atom, at micro-batch granularity), then the
+    batch's pairs are merged into the freq table. Freq state lives in a
+    parquet table (≤257² rows — swap for Delta MERGE on a cluster for
+    atomic commits); alarms append."""
+    from pyspark.sql import functions as F
+
+    from logdata_anomaly_miner_spark.operators.entropy import (
+        check_entropy,
+        learn_bigram_freq,
+        score_entropy_pandas,
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            freq = spark.read.parquet(freq_dir)
+            have_freq = True
+        except Exception:  # first batch: nothing learned yet
+            freq = None
+            have_freq = False
+        if have_freq:
+            scored = score_entropy_pandas(spark, batch_df, value_col, freq)
+            alarms = check_entropy(scored, prob_thresh).withColumn(
+                "batch_id", F.lit(batch_id)
+            )
+            alarms.write.mode("append").parquet(alarms_dir)
+        merged, _ = learn_bigram_freq(batch_df, value_col, baseline=freq)
+        # materialize BEFORE overwrite: the new table derives from the old
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
+            freq_dir
+        )
+
+    return on_batch

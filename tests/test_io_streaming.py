@@ -307,3 +307,61 @@ def test_partition_distinct_sketches_merge(spark):
     est = merged_distinct_counts(sk, ["a", "b"]).collect()[0]
     assert abs(est["nd_a"] - 500) / 500 < 0.05
     assert abs(est["nd_b"] - 137) / 137 < 0.05
+
+
+def test_streaming_entropy_check_then_learn(spark):
+    """Streaming EntropyDetector: batch 2 is scored against the freq table
+    learned from batch 1 only (check-then-learn), matching the batch
+    operators run in the same two steps."""
+    import tempfile as _tf
+
+    from logdata_anomaly_miner_spark.operators.entropy import (
+        check_entropy,
+        learn_bigram_freq,
+        score_entropy_pandas,
+    )
+    from logdata_anomaly_miner_spark.streaming.frequency import (
+        streaming_entropy_check,
+    )
+
+    b1 = [("normal text here",), ("more normal text",), ("the usual words",)]
+    b2 = [("normal text again",), ("zzqxj#@!",)]
+    with _tf.TemporaryDirectory() as d:
+        spark.createDataFrame(b1, "value string").coalesce(1).write.parquet(f"{d}/in/f1")
+        stream = spark.readStream.schema("value string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(f"{d}/in/*")
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_entropy_check(spark, "value", 0.05, f"{d}/freq", f"{d}/alarms")
+            )
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # second file -> second run picks up the learned freq
+        spark.createDataFrame(b2, "value string").coalesce(1).write.parquet(f"{d}/in/f2")
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_entropy_check(spark, "value", 0.05, f"{d}/freq", f"{d}/alarms")
+            )
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["value"]: r["critical_val"] for r in spark.read.parquet(f"{d}/alarms").collect()}
+    # batch equivalent: learn on b1, score b2
+    df1 = spark.createDataFrame(b1, "value string")
+    df2 = spark.createDataFrame(b2, "value string")
+    freq, _ = learn_bigram_freq(df1, "value")
+    want = {
+        r["value"]: r["critical_val"]
+        for r in check_entropy(
+            score_entropy_pandas(spark, df2, "value", freq), 0.05
+        ).collect()
+    }
+    assert set(got) == set(want) and "zzqxj#@!" in got
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
