@@ -266,6 +266,10 @@ def run_suite(
         "wall_time_s": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
     }
+    # texts was persisted unconditionally above; the verdict collect is the
+    # last action that reads it — release it here so repeated run_suite
+    # calls in one session don't accumulate cached blocks
+    texts.unpersist()
     if persist:
         flat.unpersist()
         docs.unpersist()

@@ -176,11 +176,14 @@ def ngram_jaccard_pairs(
     src = df
     if candidates is not None:
         # the candidate set is referenced three times below (id filter +
-        # both sides of the intersection join); persist it so its upstream
-        # (e.g. the whole MinHash/LSH pipeline) runs once, not three times
-        # (Catalyst does not CSE duplicated subplans). It is tiny —
-        # proportional to true near-dups.
-        candidates = candidates.persist()
+        # both sides of the intersection join); eagerly localCheckpoint it
+        # so its upstream (e.g. the whole MinHash/LSH pipeline) runs ONCE,
+        # not three times (Catalyst does not CSE duplicated subplans). It is
+        # tiny — proportional to true near-dups. Unlike persist(), the
+        # checkpoint blocks are released by the ContextCleaner as soon as
+        # the caller drops the returned DataFrame, so repeated calls in one
+        # session don't leak cached blocks.
+        candidates = candidates.localCheckpoint(eager=True)
         # only candidate docs need shingling at all — semi-join the (tiny)
         # candidate id set onto the corpus BEFORE the explode, so the
         # verification cost is O(|candidate docs|), not O(|corpus|)

@@ -120,10 +120,13 @@ def mine_implication_rules(
     result is deterministic.
 
     Scale shape: the observation set is ≤ max_observations rows per type
-    (row_number over a per-type window); the confirmation check is a range
-    join of that small set against the events table — Catalyst turns the
-    ts predicate into a band condition AQE can handle; everything after is
-    |types|² aggregation."""
+    (row_number over a per-type window); the confirmation check equi-joins
+    on a floor(ts/max_delta) time bucket (observations exploded to the two
+    buckets their window can touch), so it compiles to a hash/sort-merge
+    join — each event is tested only against observations in its own
+    bucket, never against all observations (the pure band-predicate form
+    would be a BroadcastNestedLoopJoin evaluating |obs| predicates per
+    event row); everything after is |types|² aggregation."""
     from math import comb
 
     ts = F.col(ts_col).cast("double")
@@ -142,17 +145,28 @@ def mine_implication_rules(
         in_window = (F.col("tb") > F.col("ta")) & (
             F.col("tb") <= F.col("ta") + F.lit(float(max_delta))
         )
+        bucket_offsets = (0, 1)
     elif direction == "back":
         in_window = (F.col("tb") < F.col("ta")) & (
             F.col("tb") >= F.col("ta") - F.lit(float(max_delta))
         )
+        bucket_offsets = (-1, 0)
     else:
         raise ValueError(f"unknown direction {direction!r}")
+    # time-bucket equi-key: an observation's window (ta, ta±Δ] only touches
+    # buckets {floor(ta/Δ)+o}; events carry their single bucket, so each
+    # (obs, event) pair meets at most once and no bucketing dedup is needed
+    delta = F.lit(float(max_delta))
+    obs_b = obs.withColumn(
+        "_bkt",
+        F.explode(
+            F.array(*[F.floor(F.col("ta") / delta) + F.lit(o) for o in bucket_offsets])
+        ),
+    )
+    ev_b = ev.withColumn("_bkt", F.floor(F.col("tb") / delta))
     confirmed = (
-        obs.join(
-            ev,
-            in_window & (F.col("b") != F.col("a")),
-        )
+        obs_b.join(ev_b, "_bkt")
+        .filter(in_window & (F.col("b") != F.col("a")))
         .select("a", "b", "_rn")
         .dropDuplicates()
         .groupBy("a", "b")

@@ -41,6 +41,27 @@ def _with_range_bucket(
     )
 
 
+def _carry_join(
+    d: DataFrame, val_col: str, order_cols: Sequence[str], out_col: str
+) -> DataFrame:
+    """Adds ``out_col`` = the last (in order) ``val_col`` of the nearest
+    preceding non-empty range bucket (null for the first). The per-range
+    summary is one max_by aggregate; the |ranges|² summary self-join is
+    negligible and the result broadcasts."""
+    last = d.groupBy("_pid").agg(
+        F.max_by(F.col(val_col), F.struct(*[F.col(c) for c in order_cols])).alias(
+            "_last_v"
+        )
+    )
+    carry = (
+        last.alias("a")
+        .join(last.alias("b"), F.col("b._pid") < F.col("a._pid"))
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.max_by(F.col("b._last_v"), F.col("b._pid")).alias(out_col))
+    )
+    return d.join(F.broadcast(carry), "_pid", "left")
+
+
 def unsorted_timestamps(
     df: DataFrame,
     ts_col: str = "ts",
@@ -61,18 +82,7 @@ def unsorted_timestamps(
     d = _with_range_bucket(df, order_cols, num_buckets)
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     d = d.withColumn("_prev_local", F.lag(F.col(ts_col)).over(w))
-    last = d.groupBy("_pid").agg(
-        F.max_by(F.col(ts_col), F.struct(*[F.col(c) for c in order_cols])).alias(
-            "_last_ts"
-        )
-    )
-    carry = (
-        last.alias("a")
-        .join(last.alias("b"), F.col("b._pid") < F.col("a._pid"))
-        .groupBy(F.col("a._pid").alias("_pid"))
-        .agg(F.max_by(F.col("b._last_ts"), F.col("b._pid")).alias("_carry"))
-    )
-    d = d.join(F.broadcast(carry), "_pid", "left")
+    d = _carry_join(d, ts_col, order_cols, "_carry")
     prev = F.coalesce(F.col("_prev_local"), F.col("_carry"))
     return (
         d.withColumn("prev_ts", prev)

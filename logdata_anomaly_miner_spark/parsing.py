@@ -144,15 +144,25 @@ def ip_address_v6(name: str) -> Element:
     string (Spark has no 128-bit integral; the reference's packed-bytes
     match_object ≙ the canonical text here)."""
     h = r"[0-9a-fA-F]{1,4}"
+    v4 = r"\d{1,3}(?:\.\d{1,3}){3}"
+    # Alternatives ordered so a backtracking engine picks the LONGEST form
+    # when the element is embedded unanchored in a log-line regex: forms
+    # ending in a hex group / v4 tail come before forms ending in "::"
+    # (otherwise "fe80::1" would match only "fe80::"). The mixed forms need
+    # no explicit "::" marker: "(?:h:){m}" always consumes its trailing
+    # colon, so "(?::h){n}" can only attach at a double colon.
     pat = (
-        rf"(?:{h}:){{7}}{h}"
-        rf"|(?:{h}:){{1,7}}:"
-        rf"|(?:{h}:){{1,6}}:{h}"
-        rf"|(?:{h}:){{1,5}}(?::{h}){{1,2}}"
-        rf"|(?:{h}:){{1,4}}(?::{h}){{1,3}}"
-        rf"|(?:{h}:){{1,3}}(?::{h}){{1,4}}"
-        rf"|(?:{h}:){{1,2}}(?::{h}){{1,5}}"
+        rf"(?:{h}:){{7}}{h}"                      # full 8 groups
+        rf"|(?:{h}:){{6}}{v4}"                    # full with v4 tail
+        rf"|::(?:[fF]{{4}}(?::0{{1,4}})?:)?{v4}"  # ::ffff:1.2.3.4 / ::1.2.3.4
+        rf"|(?:{h}:){{1,5}}:{v4}"                 # 1::1.2.3.4 etc.
         rf"|{h}:(?::{h}){{1,6}}"
+        rf"|(?:{h}:){{1,2}}(?::{h}){{1,5}}"
+        rf"|(?:{h}:){{1,3}}(?::{h}){{1,4}}"
+        rf"|(?:{h}:){{1,4}}(?::{h}){{1,3}}"
+        rf"|(?:{h}:){{1,5}}(?::{h}){{1,2}}"
+        rf"|(?:{h}:){{1,6}}:{h}"
+        rf"|(?:{h}:){{1,7}}:"
         rf"|:(?::{h}){{1,7}}"
         rf"|::"
     )
@@ -336,24 +346,49 @@ def infer_years(
     cases — and heuristic for adjacent correction runs, where the reference
     itself is heuristic). Feb-29-into-non-leap-year readings clamp to
     Feb 28 (timestamp_add) instead of raising the reference's ValueError.
+
+    Scale shape: with ``stream_cols`` set, everything is per-stream window
+    functions. With NO stream column (one global sequence — the raw-ingest
+    case that sees all the data), a naive ``Window.partitionBy()`` would
+    funnel every row through one WindowExec partition; instead the same
+    two-phase range-bucket prefix scan as operators/timestamps.py:31-120
+    runs: range-partition on the order column, compute local lags/cumsums
+    per range, and derive each range's carry-in from a tiny broadcast
+    summary table. No carry CHAIN exists — straggler detection lags the
+    raw reading (data, not computed state) and wraparound lags the
+    straggler-corrected reading, which is fully determined once the raw
+    carry is joined — so three independent carry joins suffice.
     """
     from pyspark.sql import Window
 
     out_col = out_col or f"{ts_col}_adj"
-    w = Window.partitionBy(*stream_cols).orderBy(*[F.col(c) for c in order_cols])
-    cum = w.rowsBetween(Window.unboundedPreceding, 0)
     jump = float(max_time_jump_seconds)
     s = F.unix_timestamp(F.col(ts_col)).cast("double")
     ny = F.unix_timestamp(F.timestamp_add("YEAR", F.lit(1), F.col(ts_col))).cast("double")
     ly = F.unix_timestamp(F.timestamp_add("YEAR", F.lit(-1), F.col(ts_col))).cast("double")
+    d = df.withColumn("_s", s).withColumn("_ny", ny).withColumn("_ly", ly)
+
+    order = [F.col(c) for c in order_cols]
+    if stream_cols:
+        w = Window.partitionBy(*stream_cols).orderBy(*order)
+        prev_raw = F.lag("_s").over(w)
+    else:
+        from logdata_anomaly_miner_spark.operators.timestamps import (
+            _carry_join,
+            _with_range_bucket,
+        )
+
+        d = _with_range_bucket(d, order_cols, None)
+        w = Window.partitionBy("_pid").orderBy(*order)
+        d = _carry_join(d, "_s", order_cols, "_carry_s")
+        prev_raw = F.coalesce(F.lag("_s").over(w), F.col("_carry_s"))
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
 
     # Pass 1 — straggler detection (:325-335): |delta| > jump (a late-
     # December line read with the current year is a FORWARD jump in a
     # January stream) and the previous-year reading lands within jump
     # behind the predecessor. The row maps to year-1 without touching the
     # rolling state.
-    d = df.withColumn("_s", s).withColumn("_ny", ny).withColumn("_ly", ly)
-    prev_raw = F.lag("_s").over(w)
     straggler = (
         prev_raw.isNotNull()
         & (F.abs(prev_raw - F.col("_s")) > F.lit(jump))
@@ -366,23 +401,43 @@ def infer_years(
 
     # Pass 2 — wraparound (:310-323): backward jump > jump vs the
     # predecessor's effective reading, next-year reading within jump ahead.
-    prev_eff = F.lag("_eff").over(w)
+    if stream_cols:
+        prev_eff = F.lag("_eff").over(w)
+    else:
+        d = _carry_join(d, "_eff", order_cols, "_carry_eff")
+        prev_eff = F.coalesce(F.lag("_eff").over(w), F.col("_carry_eff"))
     wrap = (
         ~F.col("_strag")
         & prev_eff.isNotNull()
         & ((prev_eff - F.col("_s")) > F.lit(jump))
         & ((F.col("_ny") - prev_eff) <= F.lit(jump))
     )
-    d = d.withColumn("_wrap", wrap.cast("int")).withColumn(
-        "_yoff", F.sum("_wrap").over(cum)
-    )
+    d = d.withColumn("_wrap", wrap.cast("int"))
+    if stream_cols:
+        d = d.withColumn("_yoff", F.sum("_wrap").over(cum))
+        extra = ()
+    else:
+        # distributed prefix sum: local cumsum + sum of earlier ranges
+        wsum = d.groupBy("_pid").agg(F.sum("_wrap").alias("_wsum"))
+        carry = (
+            wsum.alias("a")
+            .join(wsum.alias("b"), F.col("b._pid") < F.col("a._pid"))
+            .groupBy(F.col("a._pid").alias("_pid"))
+            .agg(F.sum("b._wsum").alias("_carry_w"))
+        )
+        d = d.join(F.broadcast(carry), "_pid", "left")
+        d = d.withColumn(
+            "_yoff",
+            F.sum("_wrap").over(cum) + F.coalesce(F.col("_carry_w"), F.lit(0)),
+        )
+        extra = ("_pid", "_carry_s", "_carry_eff", "_carry_w")
     adj = F.timestamp_add(
         "YEAR",
         (F.col("_yoff") - F.when(F.col("_strag"), 1).otherwise(0)).cast("int"),
         F.col(ts_col),
     )
     return d.withColumn(out_col, adj).drop(
-        "_s", "_ny", "_ly", "_strag", "_eff", "_wrap", "_yoff"
+        "_s", "_ny", "_ly", "_strag", "_eff", "_wrap", "_yoff", *extra
     )
 
 

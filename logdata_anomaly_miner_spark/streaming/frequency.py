@@ -169,12 +169,16 @@ def streaming_entropy_check(
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        try:
-            freq = spark.read.parquet(freq_dir)
-            have_freq = True
-        except Exception:  # first batch: nothing learned yet
-            freq = None
-            have_freq = False
+        # "First batch" means the freq table does not exist yet — probe the
+        # path instead of catching every read error, so a corrupt table
+        # (crash mid-overwrite), schema drift, or transient IO failure
+        # surfaces instead of silently discarding all learned state.
+        import os
+
+        have_freq = os.path.isdir(freq_dir) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(freq_dir)
+        )
+        freq = spark.read.parquet(freq_dir) if have_freq else None
         if have_freq:
             scored = score_entropy_pandas(spark, batch_df, value_col, freq)
             alarms = check_entropy(scored, prob_thresh).withColumn(

@@ -107,7 +107,10 @@ def _value_range_fn(
     for pdf in pdfs:
         pdf = pdf.sort_values("ts")
         for t, v in zip(pdf["ts"], pdf["value"]):
-            if v is None:
+            # Arrow delivers SQL NULL doubles as NaN, not None: a bare
+            # `v is None` never fires and a single NaN would poison the
+            # (mn, mx) state forever (all later comparisons false).
+            if v is None or pd.isna(v):
                 continue
             v = float(v)
             if mn is not None and (v < mn or v > mx):

@@ -263,6 +263,9 @@ def test_streaming_value_range_matches_sequential(spark):
     rows = [
         ("a", 1.0, 5.0), ("a", 2.0, 9.0), ("a", 3.0, 7.0), ("a", 4.0, 12.0),
         ("b", 1.5, 100.0), ("b", 2.5, 90.0), ("b", 3.5, 95.0),
+        # a NULL value arrives as NaN through Arrow: it must be skipped, NOT
+        # poison c's (mn, mx) state and disable the later genuine alarm
+        ("c", 1.0, 10.0), ("c", 2.0, None), ("c", 3.0, 50.0),
     ]
     with _tf.TemporaryDirectory() as d:
         spark.createDataFrame(rows, "id string, ts double, value double").coalesce(

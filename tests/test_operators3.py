@@ -164,3 +164,67 @@ def test_chi_square_pairs(spark):
     assert out[("a", "b")]["dependent"] is True
     assert out[("a", "c")]["dependent"] is False
     assert out[("a", "b")]["chi2"] > out[("a", "c")]["chi2"]
+
+
+def test_mine_implication_rules_bucketed(spark):
+    """Hypothesis mining: correctness of the time-bucketed equi-join form
+    (rule / rejected / undecided verdicts, window-boundary events crossing
+    bucket edges) AND a plan assertion that the confirmation join is a hash
+    or sort-merge join, not a BroadcastNestedLoopJoin."""
+    from logdata_anomaly_miner_spark.operators.correlation import (
+        mine_implication_rules,
+    )
+
+    # 20 A-events; every A is followed by a B within delta=5 (some right at
+    # the window edge / across a floor(ts/5) bucket boundary); C never is.
+    rows = []
+    for i in range(20):
+        ta = T0 + i * 100.0
+        rows.append((f"e{i}a", "A", ta))
+        rows.append((f"e{i}b", "B", ta + (5.0 if i % 3 == 0 else 2.5)))
+    rows.append(("ec", "C", T0 + 5000.0))
+    df = spark.createDataFrame(rows, "event_id string, event_type string, ts double")
+    out = mine_implication_rules(
+        df, "event_type", ts_col="ts", max_delta=5.0,
+        max_observations=20, p0=0.75, alpha=0.05,
+    )
+    res = {(r["a"], r["b"]): r for r in out.collect()}
+    assert res[("A", "B")]["status"] == "rule"
+    assert res[("A", "B")]["n_true"] == 20
+    assert res[("A", "C")]["status"] == "rejected"
+    # B has 20 observations too (budget met) but no A follows any B within 5
+    assert res[("B", "A")]["n_true"] == 0
+    # C has 1 < max_observations A-events -> undecided
+    assert res[("C", "A")]["status"] == "undecided"
+
+    import re as _re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the confirmation join must be an equi-join on the time bucket
+    assert _re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[_bkt", plan), plan
+    # the only nested-loop join allowed is the tiny |types|² pair-universe
+    # cross (condition `NOT (a = b)`); a BNLJ over the TIME columns (the old
+    # band-predicate form, evaluating every event against every observation)
+    # must not appear
+    assert not _re.search(r"BroadcastNestedLoopJoin[^\n]*t[ab]#", plan), plan
+
+
+def test_mine_implication_rules_back_bucketed(spark):
+    """Backward direction over the same data: B is always preceded by A."""
+    from logdata_anomaly_miner_spark.operators.correlation import (
+        mine_implication_rules,
+    )
+
+    rows = []
+    for i in range(20):
+        ta = T0 + i * 100.0
+        rows.append((f"e{i}a", "A", ta))
+        rows.append((f"e{i}b", "B", ta + (5.0 if i % 3 == 0 else 2.5)))
+    df = spark.createDataFrame(rows, "event_id string, event_type string, ts double")
+    out = mine_implication_rules(
+        df, "event_type", ts_col="ts", max_delta=5.0,
+        max_observations=20, p0=0.75, alpha=0.05, direction="back",
+    )
+    res = {(r["a"], r["b"]): r for r in out.collect()}
+    assert res[("B", "A")]["status"] == "rule" and res[("B", "A")]["n_true"] == 20
+    assert res[("A", "B")]["n_true"] == 0

@@ -264,7 +264,20 @@ def test_ip_address_v6(spark):
         ("src=::1",),
         ("src=fe80::1ff:fe23:4567:890a",),
         ("src=not-an-ip",),
+        # embedded longest-match: must capture the FULL address, not a
+        # "fe80::"-style prefix (alternation-order bug fixed in round 3)
+        ("src=fe80::1",),
+        ("src=1:2::3:4",),
+        # IPv4-mapped / v4-tail forms (reference byte parser accepts these)
+        ("src=::ffff:1.2.3.4",),
+        ("src=1:2:3:4:5:6:7.8.9.10",),
     ]
     out = parse(spark.createDataFrame(rows, "raw string"), "raw", model).collect()
-    assert [r["_parse_ok"] for r in out] == [True, True, True, True, False]
+    assert [r["_parse_ok"] for r in out] == [
+        True, True, True, True, False, True, True, True, True,
+    ]
     assert out[1]["ip6"] == "2001:db8::2:1"
+    assert out[5]["ip6"] == "fe80::1"
+    assert out[6]["ip6"] == "1:2::3:4"
+    assert out[7]["ip6"] == "::ffff:1.2.3.4"
+    assert out[8]["ip6"] == "1:2:3:4:5:6:7.8.9.10"
