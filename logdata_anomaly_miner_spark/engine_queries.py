@@ -869,6 +869,41 @@ def q_freq_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_var_gof_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariableTypeDetector discrete path (reference detect_var_type
+    :947-965 + d_test :1845-1903 + the num_d_bt binomial ladder): learn
+    value probabilities for the discrete user_id variable per event type
+    over the first 100 events, then chi²-test each 50-event chunk against
+    them; unseen users flag the new-values branch; trailing-10 ladder."""
+    from logdata_anomaly_miner_spark.operators.var_gof import d_ladder, fit_discrete
+
+    ev = _read(spark, sf_dir, "events")
+    baseline = fit_discrete(ev, ["event_type"], "user_id", ["event_id"], num_init=100)
+    out = d_ladder(
+        ev,
+        ["event_type"],
+        "user_id",
+        ["event_id"],
+        baseline,
+        num_init=100,
+        num_update=50,
+        num_d_bt=10,
+        d_bt_alpha=0.05,
+    )
+    return out.select(
+        "event_type",
+        "chunk",
+        F.round("chi2", 6).alias("chi2"),
+        F.col("dof").cast("long").alias("dof"),
+        F.round("z", 6).alias("z"),
+        F.col("n_new").cast("long").alias("n_new"),
+        "failed",
+        F.col("n_fails").cast("long").alias("n_fails"),
+        F.col("n_tests").cast("long").alias("n_tests"),
+        "alarm",
+    )
+
+
 # NOTE: dict order is bench execution order — a cheap scan-only query goes
 # first so the session's one-time costs (python worker spawn, parquet
 # footer reads, broadcast infra) don't inflate an expensive query's timing.
@@ -884,6 +919,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tsa_ar1": q_tsa_ar1,
     "var_gof": q_var_gof,
     "var_sgof": q_var_sgof,
+    "var_gof_discrete": q_var_gof_discrete,
     "early_exceeding": q_early_exceeding,
     "freq_seasonal": q_freq_seasonal,
     "ks_drift": q_ks_drift,
@@ -1243,6 +1279,51 @@ kc AS (SELECT min(k)+1 AS k FROM (
 SELECT g AS event_type, chunk, round(stat, 6) AS stat, failed,
        CAST(n_fails AS BIGINT) AS n_fails, CAST(n_tests AS BIGINT) AS n_tests,
        (n_tests >= 30 AND n_fails >= (SELECT k FROM kc)) AS alarm
+FROM lad
+""",
+    # min_success = bt_min_successes(10, 0.95, 0.05) = 10 (the failure-tail
+    # walk exceeds alpha at i=0 since 0.95^10 ≈ 0.599 > 0.05), so a full
+    # window alarms on any failure — same arithmetic as the Spark side.
+    "var_gof_discrete": """
+WITH ev AS (SELECT event_id, event_type AS g, CAST(user_id AS VARCHAR) AS v
+            FROM events WHERE user_id IS NOT NULL),
+rnk AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY event_id) AS ern FROM ev),
+init AS (SELECT g, v FROM rnk WHERE ern <= 100),
+cnts AS (SELECT g, v, count(*) AS cnt FROM init GROUP BY 1, 2),
+tot AS (SELECT g, CAST(sum(cnt) AS DOUBLE) AS n_init, count(*) AS num_diff
+        FROM cnts GROUP BY 1),
+base AS (SELECT c.g, c.v, c.cnt / t.n_init AS p, t.num_diff
+         FROM cnts c JOIN tot t USING (g)
+         WHERE t.num_diff > 1 AND t.num_diff < t.n_init
+               AND t.num_diff < t.n_init * 0.9),
+chunked AS (SELECT r.g, r.v, CAST(floor((r.ern - 100 - 1) / 50.0) AS BIGINT) AS chunk
+            FROM rnk r JOIN (SELECT DISTINCT g FROM base) bg ON bg.g = r.g
+            WHERE r.ern > 100),
+fullc AS (SELECT g, chunk FROM chunked GROUP BY 1, 2 HAVING count(*) >= 50),
+obsc AS (SELECT g, chunk, v, count(*) AS cnt FROM chunked GROUP BY 1, 2, 3),
+grid AS (SELECT b.g, f.chunk, b.num_diff, coalesce(o.cnt, 0) AS cnt, b.p * 50.0 AS e
+         FROM base b JOIN fullc f ON f.g = b.g
+         LEFT JOIN obsc o ON o.g = b.g AND o.chunk = f.chunk AND o.v = b.v),
+chi AS (SELECT g, chunk, sum((cnt - e) * (cnt - e) / e) AS chi2,
+               CAST(max(num_diff) - 1 AS BIGINT) AS dof
+        FROM grid GROUP BY 1, 2),
+nv AS (SELECT o.g, o.chunk, count(*) AS n_new
+       FROM obsc o LEFT JOIN base b ON b.g = o.g AND b.v = o.v
+       WHERE b.v IS NULL GROUP BY 1, 2),
+perc AS (SELECT c.g, c.chunk, c.chi2, c.dof, coalesce(n.n_new, 0) AS n_new,
+                (pow(c.chi2 / c.dof, 1.0/3.0) - (1.0 - 2.0/(9.0*c.dof)))
+                  / sqrt(2.0/(9.0*c.dof)) AS z
+         FROM chi c LEFT JOIN nv n ON n.g = c.g AND n.chunk = c.chunk),
+fl AS (SELECT *, (n_new > 0 OR z > 1.6448536269514722) AS failed FROM perc),
+lad AS (SELECT g, chunk, chi2, dof, z, n_new, failed,
+               sum(CASE WHEN failed THEN 1 ELSE 0 END) OVER w AS n_fails,
+               count(*) OVER w AS n_tests
+        FROM fl
+        WINDOW w AS (PARTITION BY g ORDER BY chunk ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+SELECT g AS event_type, chunk, round(chi2, 6) AS chi2, dof, round(z, 6) AS z,
+       CAST(n_new AS BIGINT) AS n_new, failed,
+       CAST(n_fails AS BIGINT) AS n_fails, CAST(n_tests AS BIGINT) AS n_tests,
+       (n_tests >= 10 AND (n_tests - n_fails) < 10) AS alarm
 FROM lad
 """,
     "hypothesis_rules": """

@@ -328,3 +328,174 @@ def s_gof_ladder(
         )
         .drop("cn")
     )
+
+
+def bt_min_successes(num_bt: int, p: float, alpha: float) -> int:
+    """Minimal number of successes for the binomial test at significance
+    alpha (reference bt_min_successes :2096-2110): walk the failure tail
+    until the cumulative probability exceeds alpha."""
+    s = 0.0
+    for i in range(num_bt + 1):
+        s += math.comb(num_bt, i) * ((1 - p) ** i) * (p ** (num_bt - i))
+        if s > alpha:
+            return num_bt - i
+    return 0
+
+
+def fit_discrete(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    order_cols: Sequence[str],
+    num_init: int = 100,
+    sim_thres: float = 0.1,
+) -> DataFrame:
+    """Discrete/static variable baseline (reference detect_var_type
+    :887-965, discrete branch :958-965): per group, classify the first
+    ``num_init`` values and learn the value-probability list.
+
+    Classification over the init sample (one distinct-count aggregate):
+    - 'stat'   — exactly one distinct value (:896-897)
+    - 'unq'    — every value distinct (:951-953; the reference also
+      requires non-float values, folded into the caller's column choice)
+    - 'others' — num_diff >= num_init·(1−sim_thres) (:954-956)
+    - 'd'      — otherwise: discrete, with p(v) = count(v)/n (:958-965)
+
+    Returns one row per (group, value): group_cols + (var_kind, value, p,
+    n_init, num_diff) — 'stat' groups carry their single value with p=1;
+    'unq'/'others' groups keep their rows so the caller can filter or
+    inspect, with p still the empirical probability."""
+    v = F.col(value_col).cast("string")
+    w_ord = Window.partitionBy(*group_cols).orderBy(*[F.col(c) for c in order_cols])
+    init = (
+        df.filter(v.isNotNull())
+        .withColumn("_ern", F.row_number().over(w_ord))
+        .filter(F.col("_ern") <= num_init)
+        .select(*group_cols, v.alias("value"))
+    )
+    counts = init.groupBy(*group_cols, "value").agg(F.count(F.lit(1)).alias("_cnt"))
+    totals = counts.groupBy(*group_cols).agg(
+        F.sum("_cnt").alias("n_init"), F.count(F.lit(1)).alias("num_diff")
+    )
+    kind = (
+        F.when(F.col("num_diff") == 1, F.lit("stat"))
+        .when(F.col("num_diff") == F.col("n_init"), F.lit("unq"))
+        .when(
+            F.col("num_diff")
+            >= F.col("n_init").cast("double") * F.lit(1.0 - sim_thres),
+            F.lit("others"),
+        )
+        .otherwise(F.lit("d"))
+    )
+    return (
+        counts.join(totals, list(group_cols))
+        .withColumn("var_kind", kind)
+        .withColumn("p", F.col("_cnt") / F.col("n_init"))
+        .select(*group_cols, "var_kind", "value", "p", "n_init", "num_diff")
+    )
+
+
+def d_ladder(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    order_cols: Sequence[str],
+    baseline: DataFrame,
+    num_init: int = 100,
+    num_update: int = 50,
+    d_alpha: float = 0.05,
+    alpha_z: float = 1.6448536269514722,
+    num_d_bt: int = 30,
+    d_bt_alpha: float = 0.05,
+) -> DataFrame:
+    """Discrete drift ladder (reference d_test :1845-1903 'Chi' mode +
+    update_var_type :1337-1433 + the num_d_bt binomial ladder): values
+    after the init sample are cut into consecutive chunks of
+    ``num_update``; each full chunk is chi-square-tested against the
+    baseline value probabilities (every baseline value contributes an
+    expected count E = p·num_update, observed-but-unseen values flag the
+    chunk as 'new value' instead — the reference's new-values branch); a
+    chunk fails when it has new values or its chi² exceeds the d_alpha
+    critical value (Wilson–Hilferty z > z_α, scipy-free and oracle-
+    evaluable); the trailing ``num_d_bt`` chunk results alarm when the
+    success count drops below bt_min_successes(num_d_bt, 1−d_alpha,
+    d_bt_alpha) (reference :158).
+
+    Documented deviation: the reference mutates the baseline inside the
+    stream (learn mode expands the value set / re-weights probabilities);
+    the batch form tests every chunk against the INIT baseline — the same
+    fixed-model convention s_gof_ladder already uses.
+
+    Only 'd'-classified groups are laddered. Returns group_cols + (chunk,
+    chi2, dof, z, n_new, failed, n_fails, n_tests, alarm)."""
+    base = baseline.filter(F.col("var_kind") == "d")
+    v = F.col(value_col).cast("string")
+    w_ord = Window.partitionBy(*group_cols).orderBy(*[F.col(c) for c in order_cols])
+    chunked = (
+        df.filter(v.isNotNull())
+        .withColumn("_ern", F.row_number().over(w_ord))
+        .filter(F.col("_ern") > num_init)
+        .withColumn("chunk", F.floor((F.col("_ern") - num_init - 1) / num_update))
+        .select(*group_cols, "chunk", v.alias("value"))
+        .join(
+            base.select(*group_cols).dropDuplicates(), list(group_cols), "left_semi"
+        )
+    )
+    # observed counts per (group, chunk, value)
+    obs_counts = chunked.groupBy(*group_cols, "chunk", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    full_chunks = (
+        chunked.groupBy(*group_cols, "chunk")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= num_update)
+    )
+    # expected grid: every baseline value × every full chunk of its group,
+    # left-joined with observed counts (unobserved -> 0); the join keys are
+    # the group columns, so this is a co-partitioned hash join, never a cross
+    grid = (
+        base.select(*group_cols, "value", "p", "num_diff")
+        .join(full_chunks.select(*group_cols, "chunk"), list(group_cols))
+        .join(obs_counts, [*group_cols, "chunk", "value"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .withColumn("e", F.col("p") * F.lit(float(num_update)))
+        .withColumn("term", (F.col("cnt") - F.col("e")) ** 2 / F.col("e"))
+    )
+    chi2 = grid.groupBy(*group_cols, "chunk").agg(
+        F.sum("term").alias("chi2"),
+        (F.first("num_diff") - F.lit(1)).cast("long").alias("dof"),
+    )
+    # observed values with no baseline row = the reference's new-value branch
+    new_vals = (
+        obs_counts.join(
+            base.select(*group_cols, "value"), [*group_cols, "value"], "left_anti"
+        )
+        .groupBy(*group_cols, "chunk")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    k = F.col("dof").cast("double")
+    z = (
+        F.pow(F.col("chi2") / k, F.lit(1.0 / 3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * k))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * k))
+    per_chunk = (
+        chi2.join(new_vals, [*group_cols, "chunk"], "left")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
+        .withColumn("z", z)
+        .withColumn(
+            "failed", (F.col("n_new") > 0) | (F.col("z") > F.lit(float(alpha_z)))
+        )
+    )
+    bt = Window.partitionBy(*group_cols).orderBy("chunk").rowsBetween(
+        -(num_d_bt - 1), 0
+    )
+    min_success = bt_min_successes(num_d_bt, 1.0 - d_alpha, d_bt_alpha)
+    return (
+        per_chunk.withColumn("n_fails", F.sum(F.col("failed").cast("int")).over(bt))
+        .withColumn("n_tests", F.count(F.lit(1)).over(bt))
+        .withColumn(
+            "alarm",
+            (F.col("n_tests") >= num_d_bt)
+            & ((F.col("n_tests") - F.col("n_fails")) < min_success),
+        )
+    )

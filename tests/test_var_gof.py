@@ -101,3 +101,60 @@ def test_s_gof_ladder_alarms_on_drift(spark):
     # alarm needs >= 3 tests in window AND >= 2 fails: first at chunk 3
     assert not by_chunk[2]["alarm"]
     assert by_chunk[3]["alarm"] and by_chunk[4]["alarm"]
+
+
+def test_fit_discrete_classification(spark):
+    """detect_var_type discrete branch: stat / unq / others / d kinds and
+    the learned value probabilities."""
+    from logdata_anomaly_miner_spark.operators.var_gof import fit_discrete
+
+    rows = []
+    # stat: one value 100x
+    rows += [("s", i, "only") for i in range(100)]
+    # unq: all distinct
+    rows += [("u", i, f"v{i}") for i in range(100)]
+    # others: 95 distinct out of 100 (>= 100*(1-0.1))
+    rows += [("o", i, f"w{min(i, 94)}") for i in range(100)]
+    # d: three values 50/30/20
+    dvals = ["x"] * 50 + ["y"] * 30 + ["z"] * 20
+    rows += [("d", i, dvals[i]) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, i long, v string")
+    out = fit_discrete(df, ["g"], "v", ["i"], num_init=100, sim_thres=0.1)
+    kinds = {r["g"]: r["var_kind"] for r in out.select("g", "var_kind").dropDuplicates().collect()}
+    assert kinds == {"s": "stat", "u": "unq", "o": "others", "d": "d"}
+    probs = {r["value"]: r["p"] for r in out.filter("g = 'd'").collect()}
+    assert probs == {"x": 0.5, "y": 0.3, "z": 0.2}
+
+
+def test_d_ladder_drift_and_new_values(spark):
+    """Discrete chi² ladder: matching chunks pass, a skewed chunk fails,
+    a chunk with an unseen value fails via the new-values branch, and the
+    trailing binomial ladder alarms once successes drop low enough."""
+    from logdata_anomaly_miner_spark.operators.var_gof import (
+        bt_min_successes,
+        d_ladder,
+        fit_discrete,
+    )
+
+    base_pat = ["x"] * 5 + ["y"] * 3 + ["z"] * 2          # p = .5/.3/.2
+    vals = base_pat * 10                                   # init: 100
+    vals += base_pat * 4                                   # chunks 0,1 (20 each): match
+    vals += ["x"] * 20                                     # chunk 2: all-x, skewed
+    vals += base_pat + ["x"] * 9 + ["NEW"]                 # chunk 3: unseen value
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, i long, v string")
+    baseline = fit_discrete(df, ["g"], "v", ["i"], num_init=100)
+    out = d_ladder(
+        df, ["g"], "v", ["i"], baseline,
+        num_init=100, num_update=20, num_d_bt=3, d_bt_alpha=0.3,
+    ).collect()
+    by_chunk = {r["chunk"]: r for r in out}
+    assert not by_chunk[0]["failed"] and not by_chunk[1]["failed"]
+    assert by_chunk[2]["failed"] and by_chunk[2]["n_new"] == 0
+    assert by_chunk[3]["failed"] and by_chunk[3]["n_new"] == 1
+    # ladder: num_d_bt=3 -> alarm when successes in window < min_success
+    ms = bt_min_successes(3, 0.95, 0.3)
+    assert ms == 3  # P(Bin(3,.95) failures >= 1) ~= .14 < .3 tail walk
+    assert not by_chunk[1]["alarm"]  # window [0,1] not full... chunk2: [0,1,2] 2 succ < 3
+    assert by_chunk[2]["alarm"] and by_chunk[3]["alarm"]
+    assert by_chunk[0]["dof"] == 2
