@@ -904,6 +904,35 @@ def q_var_gof_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_corr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeCorrelationDetector feature-level mining (reference :27-275):
+    value-match features over the event_type and user_id parser paths (top
+    5 values each), pairwise proximate-trigger count / ratio / mean delta
+    to the most recent preceding trigger within 300 s."""
+    from logdata_anomaly_miner_spark.operators.correlation import (
+        mine_time_correlations,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = mine_time_correlations(
+        ev,
+        ["event_type", "user_id"],
+        ts_col="es",
+        order_col="event_id",
+        max_delta=300.0,
+        max_features_per_path=5,
+    )
+    return out.select(
+        "feature_a",
+        "feature_b",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("triggers_a").cast("long").alias("triggers_a"),
+        F.col("triggers_b").cast("long").alias("triggers_b"),
+        F.round("ratio", 6).alias("ratio"),
+        F.round("mean_dt", 6).alias("mean_dt"),
+    )
+
+
 # NOTE: dict order is bench execution order — a cheap scan-only query goes
 # first so the session's one-time costs (python worker spawn, parquet
 # footer reads, broadcast infra) don't inflate an expensive query's timing.
@@ -920,6 +949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "var_gof": q_var_gof,
     "var_sgof": q_var_sgof,
     "var_gof_discrete": q_var_gof_discrete,
+    "time_corr_features": q_time_corr_features,
     "early_exceeding": q_early_exceeding,
     "freq_seasonal": q_freq_seasonal,
     "ks_drift": q_ks_drift,
@@ -1325,6 +1355,35 @@ SELECT g AS event_type, chunk, round(chi2, 6) AS chi2, dof, round(z, 6) AS z,
        CAST(n_fails AS BIGINT) AS n_fails, CAST(n_tests AS BIGINT) AS n_tests,
        (n_tests >= 10 AND (n_tests - n_fails) < 10) AS alarm
 FROM lad
+""",
+    "time_corr_features": """
+WITH ev AS (SELECT event_id, epoch_us(ts)/1000000.0 AS es, event_type,
+                   CAST(user_id AS VARCHAR) AS uid FROM events),
+vt AS (SELECT 'event_type=' || val AS feature, val FROM (
+         SELECT event_type AS val, row_number() OVER (ORDER BY count(*) DESC, event_type) AS rk
+         FROM ev WHERE event_type IS NOT NULL GROUP BY event_type) WHERE rk <= 5),
+vu AS (SELECT 'user_id=' || val AS feature, val FROM (
+         SELECT uid AS val, row_number() OVER (ORDER BY count(*) DESC, uid) AS rk
+         FROM ev WHERE uid IS NOT NULL GROUP BY uid) WHERE rk <= 5),
+trig AS (SELECT v.feature, e.es, e.event_id AS oid FROM ev e JOIN vt v ON v.val = e.event_type
+         UNION ALL
+         SELECT v.feature, e.es, e.event_id AS oid FROM ev e JOIN vu v ON v.val = e.uid),
+cnt AS (SELECT feature, CAST(count(*) AS BIGINT) AS triggers FROM trig GROUP BY 1),
+best AS (SELECT a.feature AS feature_a, b.feature AS feature_b, b.oid, b.es AS tb,
+                max(a.es) AS best_ta
+         FROM trig a JOIN trig b
+           ON a.oid < b.oid AND b.es - a.es <= 300.0 AND a.es <= b.es
+         GROUP BY 1, 2, 3, 4),
+pair AS (SELECT feature_a, feature_b, CAST(count(*) AS BIGINT) AS n_pairs,
+                avg(tb - best_ta) AS mean_dt
+         FROM best GROUP BY 1, 2)
+SELECT p.feature_a, p.feature_b, p.n_pairs,
+       ca.triggers AS triggers_a, cb.triggers AS triggers_b,
+       round(p.n_pairs * 1.0 / ca.triggers, 6) AS ratio,
+       round(p.mean_dt, 6) AS mean_dt
+FROM pair p
+JOIN cnt ca ON ca.feature = p.feature_a
+JOIN cnt cb ON cb.feature = p.feature_b
 """,
     "hypothesis_rules": """
 WITH ev AS (SELECT event_id, event_type, epoch_us(ts)/1000000.0 AS es FROM events),

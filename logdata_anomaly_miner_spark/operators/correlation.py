@@ -221,3 +221,119 @@ def implication_within(
     for k in key_cols:
         cond = cond & (a[k] == b[k])
     return a.join(b, cond, "left_anti")
+
+
+def mine_time_correlations(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    max_delta: float = 10.0,
+    max_features_per_path: int = 10,
+) -> DataFrame:
+    """TimeCorrelationDetector feature-level mining, batch analog
+    (reference TimeCorrelationDetector.py:27-275): the reference samples
+    random ValueMatch/PathExists rules over parser paths as 'features',
+    tracks each feature's last trigger time, and every N records reports,
+    per feature pair (A, B), the count of B-triggers within 10 s of A's
+    last trigger, the ratio to A's trigger count, and the mean delta
+    (update_tables_for_feature :203-224, analysis_status_to_string
+    :226-257).
+
+    Deterministic exhaustive re-expression: the feature vocabulary is the
+    top ``max_features_per_path`` most frequent values of each column in
+    ``feature_cols`` (ValueMatch features — ties broken by value, so the
+    vocabulary is reproducible); every ordered feature pair is evaluated
+    over the whole batch. 'Delta to A's last trigger ≤ max_delta' is
+    equivalent to 'an A-trigger exists in (t_B − max_delta, t_B)', and the
+    delta itself is t_B minus the max such A-trigger time — both computed
+    with the same floor(ts/Δ) time-bucket equi-join scale shape as
+    mine_implication_rules (hash join, never a nested-loop band join).
+
+    Returns (feature_a, feature_b, n_pairs, triggers_a, triggers_b, ratio,
+    mean_dt): one row per ordered pair with at least one proximate
+    trigger; ratio = n_pairs / triggers_a (the reference's r), mean_dt the
+    average delta (reference dt)."""
+    ts = F.col(ts_col).cast("double")
+    oc = F.col(order_col)
+
+    vocabs = []
+    for c in feature_cols:
+        cnt = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).cast("string").alias("_val"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        w = Window.orderBy(F.col("_n").desc(), F.col("_val"))
+        vocabs.append(
+            cnt.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_features_per_path)
+            .select(
+                F.lit(c).alias("_col"),
+                F.col("_val"),
+                F.concat_ws("=", F.lit(c), F.col("_val")).alias("feature"),
+            )
+        )
+    vocab = vocabs[0]
+    for v in vocabs[1:]:
+        vocab = vocab.unionByName(v)
+
+    trigs = None
+    for c in feature_cols:
+        t = df.select(
+            F.col(c).cast("string").alias("_val"), ts.alias("_ts"), oc.alias("_oid")
+        ).join(
+            F.broadcast(vocab.filter(F.col("_col") == c).select("_val", "feature")),
+            "_val",
+        ).select("feature", "_ts", "_oid")
+        trigs = t if trigs is None else trigs.unionByName(t)
+
+    counts = trigs.groupBy("feature").agg(F.count(F.lit(1)).alias("triggers"))
+
+    delta = F.lit(float(max_delta))
+    a = trigs.select(
+        F.col("feature").alias("feature_a"),
+        F.col("_ts").alias("ta"),
+        F.col("_oid").alias("oa"),
+    ).withColumn(
+        "_bkt", F.explode(F.array(F.floor(F.col("ta") / delta), F.floor(F.col("ta") / delta) + 1))
+    )
+    b = trigs.select(
+        F.col("feature").alias("feature_b"),
+        F.col("_ts").alias("tb"),
+        F.col("_oid").alias("ob"),
+    ).withColumn("_bkt", F.floor(F.col("tb") / delta))
+    # per (pair, B-trigger): the most recent strictly-earlier A-trigger
+    # within max_delta (strict order by the ingest id, as the reference's
+    # last_trigger_time is updated after the tables)
+    best = (
+        a.join(b, "_bkt")
+        .filter(
+            (F.col("oa") < F.col("ob"))
+            & (F.col("tb") - F.col("ta") <= delta)
+            & (F.col("ta") <= F.col("tb"))
+        )
+        .groupBy("feature_a", "feature_b", "ob", "tb")
+        .agg(F.max("ta").alias("best_ta"))
+    )
+    pair = best.groupBy("feature_a", "feature_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg(F.col("tb") - F.col("best_ta")).alias("mean_dt"),
+    )
+    return (
+        pair.join(
+            F.broadcast(counts.select(F.col("feature").alias("feature_a"),
+                                      F.col("triggers").alias("triggers_a"))),
+            "feature_a",
+        )
+        .join(
+            F.broadcast(counts.select(F.col("feature").alias("feature_b"),
+                                      F.col("triggers").alias("triggers_b"))),
+            "feature_b",
+        )
+        .withColumn("ratio", F.col("n_pairs") / F.col("triggers_a"))
+        .select(
+            "feature_a", "feature_b", "n_pairs", "triggers_a", "triggers_b",
+            "ratio", "mean_dt",
+        )
+    )

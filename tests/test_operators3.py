@@ -228,3 +228,35 @@ def test_mine_implication_rules_back_bucketed(spark):
     res = {(r["a"], r["b"]): r for r in out.collect()}
     assert res[("B", "A")]["status"] == "rule" and res[("B", "A")]["n_true"] == 20
     assert res[("A", "B")]["n_true"] == 0
+
+
+def test_mine_time_correlations(spark):
+    """Feature-level TimeCorrelationDetector mining: top-value features per
+    path, pairwise proximate-trigger counts / ratio / mean delta against
+    each B-trigger's most recent preceding A-trigger."""
+    from logdata_anomaly_miner_spark.operators.correlation import (
+        mine_time_correlations,
+    )
+
+    # login(user=alice) at t, then fail(user=bob) at t+2 — every time.
+    rows = []
+    for i in range(10):
+        t = T0 + i * 100.0
+        rows.append((2 * i, t, "login", "alice"))
+        rows.append((2 * i + 1, t + 2.0, "fail", "bob"))
+    df = spark.createDataFrame(rows, "event_id long, ts double, typ string, user string")
+    out = mine_time_correlations(
+        df, ["typ", "user"], ts_col="ts", order_col="event_id",
+        max_delta=10.0, max_features_per_path=5,
+    )
+    res = {(r["feature_a"], r["feature_b"]): r for r in out.collect()}
+    r = res[("typ=login", "typ=fail")]
+    assert r["n_pairs"] == 10 and r["triggers_a"] == 10
+    assert r["ratio"] == 1.0 and abs(r["mean_dt"] - 2.0) < 1e-9
+    # cross-path pair: user=alice -> typ=fail with the same delta
+    r2 = res[("user=alice", "typ=fail")]
+    assert r2["n_pairs"] == 10 and abs(r2["mean_dt"] - 2.0) < 1e-9
+    # no fail-before-login pairs within 10s (gap is 98s), and no self-pairs
+    # (consecutive same-feature triggers are 100s apart)
+    assert ("typ=fail", "typ=login") not in res
+    assert ("typ=login", "typ=login") not in res
