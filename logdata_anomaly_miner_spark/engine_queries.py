@@ -508,9 +508,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     qvec = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    # train_fraction < 1 exercises the documented offline-codebook scale
+    # shape: at 10^12 vectors the KMeans codebook comes from a sample (or a
+    # persisted table), never a full-table training pass per query
     out = ivf_topk(
         spark, emb, "embedding", [float(x) for x in qvec], k=10,
-        n_centroids=8, n_probe=3,
+        n_centroids=8, n_probe=3, train_fraction=0.2,
     )
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
@@ -933,6 +936,25 @@ def q_time_corr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsa_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSAArima d=1 analog: AR(1) on the first-differenced window counts,
+    level forecast reconstituted as cnt_{t-1} + predicted increment
+    (reference TSAArimaDetector.py:32-560 with ARIMA differencing)."""
+    from logdata_anomaly_miner_spark.operators.tsa import ar1_forecast_bands
+
+    ev = _events(spark, sf_dir)
+    counts = anchored_window_counts(ev, ["event_type"], 600.0, ts_col="es")
+    out = ar1_forecast_bands(counts, ["event_type"], z=1.96, min_train=10, diff=1)
+    return out.filter(F.col("pred").isNotNull()).select(
+        "event_type",
+        "w",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("pred", 6).alias("pred"),
+        F.round("sigma", 6).alias("sigma"),
+        "anomaly",
+    )
+
+
 # NOTE: dict order is bench execution order — a cheap scan-only query goes
 # first so the session's one-time costs (python worker spawn, parquet
 # footer reads, broadcast infra) don't inflate an expensive query's timing.
@@ -946,6 +968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hypothesis_rules": q_hypothesis_rules,
     "hypothesis_rules_back": q_hypothesis_rules_back,
     "tsa_ar1": q_tsa_ar1,
+    "tsa_d1": q_tsa_d1,
     "var_gof": q_var_gof,
     "var_sgof": q_var_sgof,
     "var_gof_discrete": q_var_gof_discrete,
@@ -1314,6 +1337,38 @@ FROM lad
     # min_success = bt_min_successes(10, 0.95, 0.05) = 10 (the failure-tail
     # walk exceeds alpha at i=0 since 0.95^10 ≈ 0.599 > 0.05), so a full
     # window alarms on any failure — same arithmetic as the Spark side.
+    "tsa_d1": """
+WITH t0 AS (SELECT min(epoch_us(ts)/1000000.0) AS t0 FROM events),
+c AS (SELECT event_type, CAST(floor((epoch_us(ts)/1000000.0 - t0)/600.0) AS BIGINT) AS w,
+             count(*) AS cnt
+      FROM events CROSS JOIN t0 GROUP BY 1, 2),
+k AS (SELECT event_type, min(w) AS w0 FROM c GROUP BY 1),
+g AS (SELECT max(w) AS wm FROM c),
+spine AS (SELECT k.event_type, gs.w FROM k
+          CROSS JOIN (SELECT unnest(generate_series(0, (SELECT wm FROM g))) AS w) gs
+          WHERE gs.w >= k.w0),
+sp AS (SELECT s.event_type, s.w, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+       FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.w = s.w),
+d AS (SELECT event_type, w, cnt, CAST(cnt AS DOUBLE) AS lvl,
+             lag(CAST(cnt AS DOUBLE)) OVER pw AS base,
+             CAST(cnt AS DOUBLE) - lag(CAST(cnt AS DOUBLE)) OVER pw AS y
+      FROM sp WINDOW pw AS (PARTITION BY event_type ORDER BY w)),
+dd AS (SELECT *, lag(y) OVER (PARTITION BY event_type ORDER BY w) AS x FROM d),
+fit AS (SELECT event_type,
+               coalesce(regr_slope(y, x), 0.0) AS s,
+               coalesce(regr_intercept(y, x), regr_avgy(y, x)) AS ic,
+               CAST(count(x) AS BIGINT) AS n_train
+        FROM dd GROUP BY 1),
+sc AS (SELECT dd.*, f.s, f.ic, f.n_train, dd.base + f.ic + f.s * dd.x AS pred
+       FROM dd JOIN fit f USING (event_type)),
+sg AS (SELECT event_type, stddev_pop(lvl - pred) AS sigma
+       FROM sc WHERE x IS NOT NULL GROUP BY 1)
+SELECT sc.event_type, sc.w, sc.cnt, round(sc.pred, 6) AS pred,
+       round(sg.sigma, 6) AS sigma,
+       (sc.n_train >= 10 AND abs(sc.lvl - sc.pred) > 1.96 * sg.sigma) AS anomaly
+FROM sc JOIN sg USING (event_type)
+WHERE sc.pred IS NOT NULL
+""",
     "var_gof_discrete": """
 WITH ev AS (SELECT event_id, event_type AS g, CAST(user_id AS VARCHAR) AS v
             FROM events WHERE user_id IS NOT NULL),

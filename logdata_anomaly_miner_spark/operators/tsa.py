@@ -38,6 +38,7 @@ def ar1_forecast_bands(
     min_train: int = 10,
     cnt_col: str = "cnt",
     w_col: str = "w",
+    diff: int = 0,
 ) -> DataFrame:
     """AR(1) forecast bands per key over a (key, w, cnt) window-count table.
 
@@ -45,10 +46,28 @@ def ar1_forecast_bands(
     residuals; anomaly ⟺ |cnt_t − pred_t| > z·sigma and the key has at
     least ``min_train`` training pairs. Constant series (zero variance in
     the regressor) get a null slope from regr_slope — treated as
-    pred = mean (slope 0), matching the flat-forecast intuition."""
+    pred = mean (slope 0), matching the flat-forecast intuition.
+
+    ``diff=1`` is the ARIMA d=1 analog (the reference defaults to
+    ARIMA(p,d,q) with d forcible, TSAArimaDetector.py:32-560): the AR(1)
+    is fitted on the FIRST DIFFERENCE Δ_t = cnt_t − cnt_{t−1} and the
+    level forecast is reconstituted as pred_t = cnt_{t−1} + Δ̂_t — a
+    trending series whose increments are stable no longer alarms on every
+    window the way a level-AR fit would."""
     w_ord = Window.partitionBy(*key_cols).orderBy(w_col)
-    d = counts.withColumn("_x", F.lag(F.col(cnt_col).cast("double")).over(w_ord))
-    y = F.col(cnt_col).cast("double")
+    lvl = F.col(cnt_col).cast("double")
+    if diff == 0:
+        d = counts.withColumn("_y", lvl).withColumn(
+            "_base", F.lit(0.0)
+        )
+    elif diff == 1:
+        d = counts.withColumn("_prev", F.lag(lvl).over(w_ord)).withColumn(
+            "_y", lvl - F.col("_prev")
+        ).withColumn("_base", F.col("_prev"))
+    else:
+        raise ValueError("diff must be 0 or 1")
+    d = d.withColumn("_x", F.lag(F.col("_y")).over(w_ord))
+    y = F.col("_y")
     fit = (
         d.filter(F.col("_x").isNotNull())
         .groupBy(*key_cols)
@@ -61,19 +80,22 @@ def ar1_forecast_bands(
         .withColumn("_slope2", F.coalesce(F.col("_slope"), F.lit(0.0)))
         .withColumn("_icept2", F.coalesce(F.col("_icept"), F.col("_my")))
     )
+    # level-space forecast: _base is 0 for diff=0 (pred = AR value) and
+    # cnt_{t-1} for diff=1 (pred = previous level + predicted increment);
+    # the residual lvl - pred equals the AR residual in both cases
     scored = d.join(F.broadcast(fit), list(key_cols)).withColumn(
-        "pred", F.col("_icept2") + F.col("_slope2") * F.col("_x")
+        "pred", F.col("_base") + F.col("_icept2") + F.col("_slope2") * F.col("_x")
     )
     sig = (
         scored.filter(F.col("_x").isNotNull())
         .groupBy(*key_cols)
-        .agg(F.stddev_pop(y - F.col("pred")).alias("sigma"))
+        .agg(F.stddev_pop(lvl - F.col("pred")).alias("sigma"))
     )
     out = scored.join(F.broadcast(sig), list(key_cols)).withColumn(
         "anomaly",
         F.col("pred").isNotNull()
         & (F.col("n_train") >= min_train)
-        & (F.abs(y - F.col("pred")) > F.lit(float(z)) * F.col("sigma")),
+        & (F.abs(lvl - F.col("pred")) > F.lit(float(z)) * F.col("sigma")),
     )
     return out.select(
         *key_cols,

@@ -66,3 +66,23 @@ def test_ar_p_flags_burst(spark):
     assert out[len(vals) - 1]["anomaly"] is True
     normal = [w for w, r in out.items() if r["anomaly"] and w != len(vals) - 1]
     assert len(normal) <= 2
+
+
+def test_ar1_diff_handles_trend(spark):
+    """diff=1 (ARIMA d=1 analog): a quadratic trend has stable increments,
+    so the differenced AR(1) fits it near-perfectly and an injected spike
+    stands out; predictions reconstitute to level space."""
+    vals = [float(t * t) for t in range(30)]
+    vals[20] += 50.0
+    out = {r["w"]: r for r in ar1_forecast_bands(
+        _series(spark, vals), ["k"], diff=1, min_train=5
+    ).collect()}
+    assert out[20]["anomaly"]
+    assert not out[5]["anomaly"] and not out[10]["anomaly"]
+    # level-space reconstitution on a clean quadratic: increments are 2t-1,
+    # the diff-AR(1) is exact (slope 1, icept 2) -> pred == cnt everywhere
+    clean = {r["w"]: r for r in ar1_forecast_bands(
+        _series(spark, [float(t * t) for t in range(30)]), ["k"], diff=1, min_train=5
+    ).collect()}
+    assert abs(clean[10]["pred"] - 100.0) < 1e-6
+    assert not any(r["anomaly"] for r in clean.values())
