@@ -281,3 +281,59 @@ def test_ip_address_v6(spark):
     assert out[6]["ip6"] == "1:2::3:4"
     assert out[7]["ip6"] == "::ffff:1.2.3.4"
     assert out[8]["ip6"] == "1:2:3:4:5:6:7.8.9.10"
+
+
+def test_json_string_models_parity(spark):
+    """JsonStringModelElement nested-model re-parse, replaying the
+    reference unit-test scenarios (aecid-testsuite/unit/parsing/
+    JsonStringModelElementTest.py test2-test4)."""
+    from logdata_anomaly_miner_spark.parsing import (
+        fixed,
+        parse_json_string_models,
+        wordlist,
+    )
+
+    host = wordlist("host", ["www.google.com"])
+    user = wordlist("user", ["foobar"])
+
+    # test2: valid match with an extra unconfigured key (non-strict)
+    df = spark.createDataFrame(
+        [('{"host": "www.google.com", "user": "foobar", "one": "two"}',),
+         ("not json",)],
+        "payload string",
+    )
+    out = parse_json_string_models(df, "payload", {"host": host, "user": user}).collect()
+    assert out[0]["_parse_ok"] and out[0]["host"] == "www.google.com" and out[0]["user"] == "foobar"
+    assert not out[1]["_parse_ok"]
+
+    # test3: strict mode with a nested key — extra key fails, exact passes
+    server = wordlist("server", ["www.google.com"])
+    path_el = wordlist("pathv", ["/index.html"])
+    models3 = {"host.server": server, "user": user, "path": path_el}
+    df3 = spark.createDataFrame(
+        [('{"host": {"server": "www.google.com"}, "user": "foobar", "one": "two"}',),
+         ('{"host": {"server": "www.google.com"}, "user": "foobar", "path": "/index.html"}',)],
+        "payload string",
+    )
+    out3 = parse_json_string_models(df3, "payload", models3, strict=True).collect()
+    assert not out3[0]["_parse_ok"]
+    assert out3[1]["_parse_ok"] and out3[1]["server"] == "www.google.com" and out3[1]["pathv"] == "/index.html"
+
+    # test4: null handling
+    dfn = spark.createDataFrame(
+        [('{"host": "www.google.com", "user": null, "one": "two"}',)], "payload string"
+    )
+    r_ign = parse_json_string_models(dfn, "payload", {"host": host, "user": user},
+                                     ignore_null=True).collect()[0]
+    assert r_ign["_parse_ok"] and r_ign["host"] == "www.google.com" and r_ign["user"] is None
+    r_noign = parse_json_string_models(dfn, "payload", {"host": host, "user": user},
+                                       ignore_null=False).collect()[0]
+    assert not r_noign["_parse_ok"]
+    # empty-string model parses the stringified null when ignore_null=False
+    dfn2 = spark.createDataFrame(
+        [('{"host": "www.google.com", "user": null}',)], "payload string"
+    )
+    r_empty = parse_json_string_models(
+        dfn2, "payload", {"host": host, "user": fixed("")}, ignore_null=False
+    ).collect()[0]
+    assert r_empty["_parse_ok"]
