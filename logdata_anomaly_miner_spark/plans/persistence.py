@@ -49,8 +49,12 @@ def _dec_key(s: str):
 
 def ranges_to_reference_json(ranges: DataFrame, id_cols: list[str]) -> str:
     """ValueRangeDetector baseline -> reference persistence JSON
-    ({"string:min": {"tuple:(id,)": v, ...}, "string:max": {...}})."""
-    rows = ranges.collect()
+    ({"string:min": {"tuple:(id,)": v, ...}, "string:max": {...}}).
+
+    Small-baseline path (whole payload as one str). For baselines too
+    large to hold on the driver use write_ranges_reference_json, which
+    streams partition-at-a-time to disk in the same byte format."""
+    rows = ranges.orderBy(*id_cols).collect()
     mins = {}
     maxs = {}
     for r in rows:
@@ -94,14 +98,68 @@ def known_values_from_reference_json(
 
 def atomic_write(path: str, payload: str) -> None:
     """tmpfile + rename ≙ PersistenceUtil.persist atomic swap (:116-125)."""
+    _atomic_stream(path, lambda f: f.write(payload))
+
+
+def _atomic_stream(path: str, emit) -> None:
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d)
     try:
         with os.fdopen(fd, "w") as f:
-            f.write(payload)
+            emit(f)
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
+
+
+def write_ranges_reference_json(ranges: DataFrame, id_cols: list[str], path: str) -> None:
+    """Streamed writer for huge baselines: sorts by id (range-partition
+    shuffle), then toLocalIterator() pulls ONE partition at a time to
+    the driver while writing incrementally — peak driver memory is one
+    partition, not the baseline. Output bytes are identical to
+    atomic_write(path, ranges_to_reference_json(...)). json.dumps'
+    default separators (', ', ': ') are reproduced exactly."""
+    srt = ranges.orderBy(*id_cols).persist()
+    try:
+        srt.count()  # materialize once; both passes read the cache
+
+        def emit(f):
+            f.write('{"string:min": {')
+            for which in ("min", "max"):
+                first = True
+                for r in srt.toLocalIterator():
+                    key = tuple(str(r[c]) for c in id_cols)
+                    if not first:
+                        f.write(", ")
+                    f.write(json.dumps(_enc_key(key)) + ": " + json.dumps(r[which]))
+                    first = False
+                if which == "min":
+                    f.write('}, "string:max": {')
+            f.write("}}")
+
+        _atomic_stream(path, emit)
+    finally:
+        srt.unpersist()
+
+
+def write_known_values_reference_json(
+    values: DataFrame, path: str, value_col: str = "value"
+) -> None:
+    """Streamed NewMatchPathValueDetector baseline writer — sorted value
+    list, partition-at-a-time; byte-identical to
+    atomic_write(path, known_values_to_reference_json(...))."""
+
+    def emit(f):
+        f.write("[")
+        first = True
+        for r in values.orderBy(value_col).toLocalIterator():
+            if not first:
+                f.write(", ")
+            f.write(json.dumps(f"bytes:{r[value_col]}"))
+            first = False
+        f.write("]")
+
+    _atomic_stream(path, emit)

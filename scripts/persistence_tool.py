@@ -42,13 +42,14 @@ def main() -> int:
 
     if cmd == "export-ranges":
         from logdata_anomaly_miner_spark.plans.persistence import (
-            atomic_write,
-            ranges_to_reference_json,
+            write_ranges_reference_json,
         )
 
         ranges = spark.read.parquet(sys.argv[2])
         id_cols = [c for c in ranges.columns if c not in ("min", "max")]
-        atomic_write(sys.argv[3], ranges_to_reference_json(ranges, id_cols))
+        # streamed partition-at-a-time writer: driver memory stays bounded
+        # even when the learned baseline has millions of keys
+        write_ranges_reference_json(ranges, id_cols, sys.argv[3])
         print(f"wrote {sys.argv[3]}")
         return 0
 

@@ -52,6 +52,28 @@ def test_known_values_reference_json(spark):
     assert sorted(r["value"] for r in back.collect()) == ["v_a", "v_b"]
 
 
+def test_streamed_persistence_writers_byte_parity(spark, tmp_path):
+    """The partition-at-a-time streamed writers produce bytes identical
+    to the collect-based small path (and hence to the reference format)."""
+    from logdata_anomaly_miner_spark.plans.persistence import (
+        write_known_values_reference_json,
+        write_ranges_reference_json,
+    )
+
+    ranges = spark.createDataFrame(
+        [(f"k{i:03d}", float(i), float(i) + 0.5) for i in range(97)],
+        "id string, min double, max double",
+    ).repartition(8)
+    p = str(tmp_path / "ranges.json")
+    write_ranges_reference_json(ranges, ["id"], p)
+    assert open(p).read() == ranges_to_reference_json(ranges, ["id"])
+
+    vals = spark.createDataFrame([(f"v{i:03d}",) for i in range(53)], "value string")
+    p2 = str(tmp_path / "vals.json")
+    write_known_values_reference_json(vals.repartition(8), p2)
+    assert open(p2).read() == known_values_to_reference_json(vals)
+
+
 def test_infer_variable_types(spark):
     rows = (
         [("const", "x")] * 5
