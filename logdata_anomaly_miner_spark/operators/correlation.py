@@ -264,10 +264,13 @@ def mine_time_correlations(
             .groupBy(F.col(c).cast("string").alias("_val"))
             .agg(F.count(F.lit(1)).alias("_n"))
         )
-        w = Window.orderBy(F.col("_n").desc(), F.col("_val"))
+        # top-K by frequency (ties by value, so reproducible) as
+        # orderBy().limit() -> TakeOrderedAndProject: per-task heaps, K
+        # rows to the driver-side merge — never a partition-less
+        # row_number window over the (at scale, huge) distinct-value set
         vocabs.append(
-            cnt.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= max_features_per_path)
+            cnt.orderBy(F.col("_n").desc(), F.col("_val"))
+            .limit(max_features_per_path)
             .select(
                 F.lit(c).alias("_col"),
                 F.col("_val"),

@@ -323,10 +323,28 @@ def empty_window_gaps(
         .select("w")
         .dropDuplicates()
     )
-    # consecutive occupied windows with a hole between them => a gap
-    lead_w = F.lead("w").over(Window.orderBy("w"))
+    # consecutive occupied windows with a hole between them => a gap.
+    # next_w is a global lead over ONE sequence — same two-phase
+    # distributed scan as timestamps.py: range-partition on w, local lead
+    # within each range, and for each range's last row take the first w
+    # of the nearest following non-empty range from the (tiny, broadcast)
+    # per-range summary. No stage sees the whole window set.
+    from logdata_anomaly_miner_spark.operators.timestamps import _with_range_bucket
+
+    d = _with_range_bucket(wins, ["w"], None)
+    d = d.withColumn(
+        "_next_local", F.lead("w").over(Window.partitionBy("_pid").orderBy("w"))
+    )
+    firsts = d.groupBy("_pid").agg(F.min("w").alias("_first_w"))
+    nxt = (
+        firsts.alias("a")
+        .join(firsts.alias("b"), F.col("b._pid") > F.col("a._pid"))
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.min_by(F.col("b._first_w"), F.col("b._pid")).alias("_carry_next"))
+    )
     return (
-        wins.withColumn("next_w", lead_w)
+        d.join(F.broadcast(nxt), "_pid", "left")
+        .withColumn("next_w", F.coalesce("_next_local", "_carry_next"))
         .filter(F.col("next_w") > F.col("w") + 1)
         .select(
             (F.col("w") + 1).alias("gap_start_w"),
