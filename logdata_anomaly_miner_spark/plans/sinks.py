@@ -58,6 +58,32 @@ def write_kafka(json_df: DataFrame, bootstrap: str, topic: str):
     )
 
 
+def emit_events(json_df: DataFrame, send, topic: str = "aminer") -> int:
+    """Transport-agnostic event emitter — the KafkaEventHandler.receive_event
+    (aminer/events/KafkaEventHandler.py:58-77) / ZmqEventHandler
+    (aminer/events/ZmqEventHandler.py:60-89) delivery loop with the socket
+    injected: each JSON envelope is encoded to bytes and handed to
+    ``send(topic, payload)`` — kafka-python's ``KafkaProducer.send``, a zmq
+    PUB socket's send, or a test double. Certifies the serialization
+    without a broker. Violations stream partition-at-a-time
+    (toLocalIterator) through the single driver-side emitter, exactly the
+    reference's single-threaded handler shape; the volume is violations,
+    not the corpus. Returns the number of events sent."""
+    n = 0
+    for r in json_df.select("event_json").toLocalIterator():
+        send(topic, r["event_json"].encode("utf-8"))
+        n += 1
+    return n
+
+
+def emit_events_stream(json_df: DataFrame, send, topic: str = "aminer"):
+    """Streaming variant of emit_events: one foreachBatch emitter per
+    micro-batch; returns the started query."""
+    return json_df.writeStream.foreachBatch(
+        lambda batch, _id: emit_events(batch, send, topic)
+    ).start()
+
+
 def score_events(
     violations: DataFrame, weights: dict[str, float], default: float = 0.5
 ) -> DataFrame:

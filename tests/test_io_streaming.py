@@ -72,6 +72,30 @@ def test_json_events_and_scoring(spark):
     assert s["confidence"] == 0.9
 
 
+def test_emit_events_injected_transport(spark):
+    """Kafka/ZMQ handler delivery loop with an injected transport: the
+    emitter pushes each envelope as UTF-8 bytes to send(topic, payload)
+    — the exact shape KafkaProducer.send / a zmq PUB socket consumes —
+    so the serialization is certified without a broker."""
+    from logdata_anomaly_miner_spark.plans.sinks import emit_events
+
+    v = spark.createDataFrame(
+        [
+            ("new_value", "New value(s) detected", 1.0, None, "val_a", None),
+            ("entropy", "Low entropy", 2.0, None, "zzzz", None),
+        ],
+        "detector string, message string, ts double, group_key string, value string, detail string",
+    )
+    sent = []
+    n = emit_events(to_json_events(v), lambda topic, payload: sent.append((topic, payload)),
+                    topic="aminer-events")
+    assert n == 2 and len(sent) == 2
+    assert all(t == "aminer-events" and isinstance(p, bytes) for t, p in sent)
+    decoded = sorted(json.loads(p.decode())["AnalysisComponent"]["AffectedLogAtomValues"][0]
+                     for _, p in sent)
+    assert decoded == ["val_a", "zzzz"]
+
+
 def test_multimodal_features(spark):
     blobs = gen_media_blobs(spark, 30)
     feats = extract_features(blobs)
