@@ -176,6 +176,17 @@ def datetime_el(name: str, fmt: str, pattern: str) -> Element:
     return Element(_grp(name, pattern), name, caster=f"ts:{fmt}")
 
 
+def debug_el(name: str) -> Element:
+    """DebugModelElement (reference aminer/parsing/DebugModelElement.py:
+    22-49): matches zero bytes and reports the match context at its
+    position. Batch analog: a zero-width lookahead capture of the
+    UNCONSUMED remainder at this point in the sequence — the column holds
+    exactly what DebugMatchContext (MatchContext.py:47-104) would log. In
+    a distributed run trace output belongs in the result table, not
+    stderr; pair with df.explain() for plan-level tracing."""
+    return Element("(?=" + _grp(name, ".*") + ")", name)
+
+
 def seq(*children: Element) -> Element:
     e = Element("".join(c.pattern for c in children))
     e.children = list(children)

@@ -46,6 +46,22 @@ def test_parse_syslog_line(spark):
     assert r2["user"] is None and r2["ip"] is None
 
 
+def test_debug_element_zero_width_context(spark):
+    """DebugModelElement analog: consumes nothing (siblings still match)
+    and captures the unconsumed remainder at its position."""
+    model = P.seq(
+        P.fixed("op="),
+        P.debug_el("ctx"),
+        P.wordlist("op", ["read", "write"]),
+        P.fixed(" n="),
+        P.decimal_integer("n", allow_sign=False),
+    )
+    df = spark.createDataFrame([("op=read n=42",)], "raw string")
+    row = P.parse(df, "raw", model).collect()[0]
+    assert row["_parse_ok"] and row["op"] == "read" and row["n"] == 42
+    assert row["ctx"] == "read n=42"
+
+
 def test_first_match_and_optional(spark):
     model = P.seq(
         P.first_match(
