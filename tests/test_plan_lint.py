@@ -1,0 +1,103 @@
+"""Plan lint: every registered query's PHYSICAL plan is scale-shaped.
+
+Turns docs/SCALE.md's claims into an executable invariant over the whole
+registry:
+
+- no ``CartesianProduct`` (a non-broadcast cross join is never OK);
+- no partition-less Window (a window whose spec has ordering but no
+  partition columns funnels the whole input through one task);
+- ``BroadcastNestedLoopJoin`` only where the broadcast side is either a
+  scalar (keyless aggregate — the crossJoin(broadcast(agg())) pattern used
+  to attach min/max/count scalars) or on the explicit allowlist below with
+  a bounded-cardinality justification.
+
+If a future change introduces a new nested-loop join or global window,
+this test fails and forces a review.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from logdata_anomaly_miner_spark.engine_queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Non-scalar BNLJ allowances: query -> why the broadcast side is bounded.
+BNLJ_ALLOW = {
+    # candidate (a, b) hypothesis pairs — |event types|² rows; type
+    # vocabularies are bounded by the parser model, not the data volume
+    "hypothesis_rules": "type-pair vocabulary, |types|^2",
+    "hypothesis_rules_back": "type-pair vocabulary, |types|^2",
+    # _carry_join per-range summary self-join — |range buckets|² rows
+    # (two-phase prefix scan, documented in operators/timestamps.py)
+    "monotonic_adjust": "range-bucket summary self-join, |ranges|^2",
+    # contingency completion: per-variable marginals cross — bounded by
+    # the discrete vocabularies of the variable pair
+    "chi2_pairs": "marginal cross of bounded discrete vocabularies",
+}
+
+
+def _split_top(s: str) -> list[str]:
+    out, depth, cur = [], 0, ""
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        if ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        out.append(cur.strip())
+    return out
+
+
+def partitionless_windows(plan: str) -> list[str]:
+    """windowspecdefinition args are: partition cols (bare exprs), then
+    order specs ('col ASC NULLS FIRST'), then the frame. If the FIRST
+    pre-frame arg already carries a sort direction there are no partition
+    columns."""
+    hits = []
+    for m in re.finditer(r"windowspecdefinition\((.*?specifiedwindowframe)", plan):
+        args = _split_top(m.group(1))[:-1]
+        if args and re.search(r"(ASC|DESC) NULLS (FIRST|LAST)$", args[0]):
+            hits.append(args[0][:60])
+    return hits
+
+
+def nonscalar_bnlj(plan: str) -> list[str]:
+    """IdentityBroadcastMode exchanges (the BNLJ build side) whose subtree
+    is NOT a keyless (scalar) aggregate."""
+    lines = plan.splitlines()
+    issues = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange IdentityBroadcastMode" not in ln:
+            continue
+        indent = len(ln) - len(ln.lstrip(" :+-"))
+        scalar = False
+        for j in range(i + 1, min(i + 8, len(lines))):
+            nxt = lines[j]
+            if "keys=[]" in nxt or "key=[]" in nxt:
+                scalar = True
+                break
+            if len(nxt) - len(nxt.lstrip(" :+-")) <= indent:
+                break
+        if not scalar:
+            issues.append((lines[i + 1].strip() if i + 1 < len(lines) else "?")[:100])
+    return issues
+
+
+@pytest.mark.parametrize("name", list(QUERIES))
+def test_registered_plan_is_scale_shaped(spark, name):
+    plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: CartesianProduct in plan"
+    pw = partitionless_windows(plan)
+    assert not pw, f"{name}: partition-less window over {pw}"
+    nb = nonscalar_bnlj(plan)
+    if name not in BNLJ_ALLOW:
+        assert not nb, f"{name}: non-scalar BroadcastNestedLoopJoin: {nb}"
