@@ -246,9 +246,21 @@ _RULE_TYPES = {
     "NegationMatchRule",
     "AndMatchRule",
     "OrMatchRule",
+    "ParallelMatchRule",
     "DebugMatchRule",
+    "DebugHistoryMatchRule",
     "ModuloTimeMatchRule",
+    "IPv4InRFC1918MatchRule",
+    "ValueDependentDelegatedMatchRule",
+    "ValueDependentModuloTimeMatchRule",
 }
+
+
+def _tuple_key(k) -> str:
+    """Reference rule_lookup_dict keys are stringified byte tuples like
+    ``(b"g",)``; extract the first literal."""
+    m = re.search(r"""b?["']([^"']*)["']""", str(k))
+    return m.group(1) if m else str(k)
 
 
 def _build_rule(entry: dict, rules: dict[str, Column]) -> Column:
@@ -277,19 +289,44 @@ def _build_rule(entry: dict, rules: dict[str, Column]) -> Column:
         return R.not_(sub(entry["sub_rule"]))
     if t == "AndMatchRule":
         return R.and_(*[sub(r) for r in entry["sub_rules"]])
-    if t == "OrMatchRule":
+    if t in ("OrMatchRule", "ParallelMatchRule"):
+        # ParallelMatchRule is Or that evaluates every branch (for the
+        # branches' match actions); Column OR never short-circuits anyway
         return R.or_(*[sub(r) for r in entry["sub_rules"]])
-    if t == "DebugMatchRule":
-        # the reference debug rule matches everything and logs; logging is
-        # a side effect batch plans don't have — it is the identity rule
+    if t in ("DebugMatchRule", "DebugHistoryMatchRule"):
+        # the reference debug rules match everything and log; logging is
+        # a side effect batch plans don't have — identity rule
         return F.lit(True)
     if t == "ModuloTimeMatchRule":
         return R.modulo_time(
             path_col(entry["path"]),
-            int(entry["seconds_modulo"]),
             entry["lower_limit"],
             entry["upper_limit"],
+            modulo=float(entry["seconds_modulo"]),
         )
+    if t == "IPv4InRFC1918MatchRule":
+        return R.ipv4_in_rfc1918(path_col(entry["path"]))
+    if t == "ValueDependentDelegatedMatchRule":
+        key = path_col(entry["paths"][0])
+        lookup = {
+            _tuple_key(k): sub(rid)
+            for k, rid in (entry.get("rule_lookup_dict") or {}).items()
+        }
+        default = sub(entry["default_rule"]) if entry.get("default_rule") else None
+        return R.delegated(key, lookup, default)
+    if t == "ValueDependentModuloTimeMatchRule":
+        key = path_col(entry["paths"][0])
+        ts_path = path_col(entry["path"])
+        modulo = int(entry["seconds_modulo"])
+        lookup = {
+            _tuple_key(k): R.modulo_time(ts_path, lims[0], lims[1], modulo=modulo)
+            for k, lims in (entry.get("limit_lookup_dict") or {}).items()
+        }
+        dl = entry.get("default_limit")
+        default = (
+            R.modulo_time(ts_path, dl[0], dl[1], modulo=modulo) if dl else None
+        )
+        return R.delegated(key, lookup, default)
     raise ReferenceConfigError(f"unsupported rule type {t!r}")
 
 
@@ -305,9 +342,22 @@ def _detector_builder(
     rules: dict[str, Column],
     ts_col: str | None,
     order_col: str,
+    bin_defs: dict[str, dict] | None = None,
 ) -> Builder:
     t = entry["type"]
     cols = [path_col(p) for p in entry.get("paths", [])]
+    ignore = {path_col(p) for p in entry.get("ignore_list", [])}
+
+    def _default_cols(df: DataFrame) -> list[str]:
+        """All parsed model columns (named groups), minus internals and
+        ignore_list — the reference's 'all paths' default."""
+        return [
+            c
+            for c in df.columns
+            if not c.startswith("_")
+            and c not in (order_col, "raw")
+            and c not in ignore
+        ]
 
     if t == "TimestampsUnsortedDetector":
         if ts_col is None:
@@ -419,22 +469,184 @@ def _detector_builder(
             check_event_frequency,
         )
 
-        if ts_col is None or not cols:
-            raise ReferenceConfigError(
-                "batch analog needs Input.timestamp_paths and paths"
-            )
+        if ts_col is None:
+            raise ReferenceConfigError("needs Input.timestamp_paths for ts column")
+        keys = cols or ["_event_type"]
         wsz = float(entry.get("window_size", 600))
         nw = int(entry.get("num_windows", 50))
         cf = float(entry.get("confidence_factor", 0.33))
 
         return lambda df: check_event_frequency(
-            df, cols, wsz, num_windows=nw, confidence_factor=cf, ts_col=ts_col
+            df, keys, wsz, num_windows=nw, confidence_factor=cf, ts_col=ts_col
         )
 
     if t == "ParserCount":
         from logdata_anomaly_miner_spark.operators.histogram import parser_counts
 
-        return lambda df: parser_counts(df, cols[0] if cols else "kind")
+        return lambda df: parser_counts(df, cols[0] if cols else "_event_type")
+
+    if t == "EventTypeDetector":
+        from logdata_anomaly_miner_spark.constraints.column_stats import column_stats
+
+        return lambda df: column_stats(df, cols or _default_cols(df))
+
+    if t == "VariableTypeDetector":
+        from logdata_anomaly_miner_spark.operators.variable_type import (
+            infer_variable_types,
+        )
+
+        def b(df: DataFrame) -> DataFrame:
+            sel = cols or _default_cols(df)
+            melted = df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("var"),
+                                F.col(c).cast("string").alias("val"),
+                            )
+                            for c in sel
+                        ]
+                    )
+                ).alias("p")
+            ).select("p.var", "p.val")
+            return infer_variable_types(melted, "var", "val")
+
+        return b
+
+    if t == "VariableCorrelationDetector":
+        from logdata_anomaly_miner_spark.operators.correlation import chi_square_pairs
+
+        return lambda df: chi_square_pairs(df, cols or _default_cols(df))
+
+    if t == "TimeCorrelationDetector":
+        from logdata_anomaly_miner_spark.operators.correlation import (
+            mine_time_correlations,
+        )
+
+        if ts_col is None:
+            raise ReferenceConfigError("needs Input.timestamp_paths for ts column")
+        return lambda df: mine_time_correlations(
+            df, cols or _default_cols(df), ts_col=ts_col, order_col=order_col
+        )
+
+    if t == "EventCorrelationDetector":
+        from logdata_anomaly_miner_spark.operators.correlation import (
+            mine_implication_rules,
+        )
+
+        if ts_col is None:
+            raise ReferenceConfigError("needs Input.timestamp_paths for ts column")
+        tcol = cols[0] if cols else "_event_type"
+        return lambda df: mine_implication_rules(
+            df,
+            tcol,
+            ts_col=ts_col,
+            order_cols=(order_col,),
+            max_delta=float(entry.get("hypothesis_max_delta_time", 5.0)),
+        )
+
+    if t == "TSAArimaDetector":
+        from logdata_anomaly_miner_spark.operators.event_frequency import (
+            anchored_window_counts,
+        )
+        from logdata_anomaly_miner_spark.operators.tsa import ar1_forecast_bands
+
+        if ts_col is None:
+            raise ReferenceConfigError("needs Input.timestamp_paths for ts column")
+        keys = cols or ["_event_type"]
+        wsz = float(entry.get("window_size", 600))
+        return lambda df: ar1_forecast_bands(
+            anchored_window_counts(df, keys, wsz, ts_col=ts_col), keys
+        )
+
+    if t == "MatchValueAverageChangeDetector":
+        from logdata_anomaly_miner_spark.operators.histogram import average_change
+
+        if ts_col is None:
+            raise ReferenceConfigError("needs Input.timestamp_paths for ts column")
+        return lambda df: average_change(
+            df,
+            cols[0],
+            ts_col,
+            float(entry.get("min_bin_time", 10)),
+            min_bin_elements=int(entry.get("min_bin_elements", 1)),
+        )
+
+    if t == "MatchValueStreamWriter":
+        sep = str(entry.get("separator", ";"))
+        missing = str(entry.get("missing_value_string", ""))
+        return lambda df: df.select(
+            F.concat_ws(
+                sep, *[F.coalesce(F.col(c).cast("string"), F.lit(missing)) for c in cols]
+            ).alias("line")
+        )
+
+    if t == "NewMatchIdValueComboDetector":
+        from logdata_anomaly_miner_spark.operators.new_value import check_new_id_combos
+
+        ids = [path_col(p) for p in entry.get("id_path_list", [])]
+        if ts_col is None or not ids:
+            raise ReferenceConfigError(
+                "needs Input.timestamp_paths and id_path_list"
+            )
+        return lambda df: check_new_id_combos(
+            df,
+            ids[0],
+            cols,
+            None,
+            ts_col=ts_col,
+            order_cols=[order_col],
+        )
+
+    if t in ("HistogramAnalysis", "PathDependentHistogramAnalysis"):
+        from logdata_anomaly_miner_spark.operators.histogram import (
+            linear_histogram,
+            modulo_time_histogram,
+        )
+
+        bd_reg = bin_defs or {}
+
+        def hist_for(col: str | None, bd: dict):
+            if bd["type"] == "LinearNumericBinDefinition":
+                lo = float(bd["lower_limit"])
+                size = float(bd["bin_size"])
+                return lambda df: linear_histogram(df, col, lo, size)
+            if bd["type"] == "ModuloTimeBinDefinition":
+                modulo = float(bd["modulo_value"])
+                div = float(bd["time_unit"])
+                src = col if col is not None else ts_col
+                if src is None:
+                    raise ReferenceConfigError("modulo bins need a ts column")
+                return lambda df: modulo_time_histogram(
+                    df, ts_col=src, modulo=modulo, divisor=div
+                )
+            raise ReferenceConfigError(f"unsupported bin definition {bd['type']!r}")
+
+        if t == "HistogramAnalysis":
+            parts = []
+            for path, bid in entry["histogram_defs"]:
+                if bid not in bd_reg:
+                    raise ReferenceConfigError(f"unknown bin definition {bid!r}")
+                parts.append((path_col(path), hist_for(path_col(path), bd_reg[bid])))
+
+            def b(df: DataFrame) -> DataFrame:
+                outs = [
+                    h(df).select(F.lit(c).alias("path"), "bin", "cnt") for c, h in parts
+                ]
+                out = outs[0]
+                for o in outs[1:]:
+                    out = out.unionByName(o)
+                return out
+
+            return b
+
+        bid = entry["bin_definition"]
+        if bid not in bd_reg:
+            raise ReferenceConfigError(f"unknown bin definition {bid!r}")
+        gate = path_col(entry["path"])
+        h = hist_for(None, bd_reg[bid])
+        return lambda df: h(df.filter(F.col(gate).isNotNull()) if gate in df.columns else df)
 
     raise ReferenceConfigError(f"unsupported detector type {t!r}")
 
@@ -451,12 +663,32 @@ class ReferenceConfig:
     detectors: dict[str, Builder]
     skipped: list[tuple[str, str]] = field(default_factory=list)
     approximations: list[tuple[str, str]] = field(default_factory=list)
+    referenced_cols: set[str] = field(default_factory=set)
     timestamp_col: str | None = None
     order_col: str = "line_no"
     learn_mode: bool | None = None
 
     def parse(self, df: DataFrame, raw_col: str) -> DataFrame:
-        return P.parse(df, raw_col, self.model)
+        """parse() plus the derived ``_event_type`` column: the comma-joined
+        set of named paths present in the row — exactly how the reference's
+        EventTypeDetector keys event types (the set of parsed paths).
+        Detectors configured without explicit paths (EventFrequency /
+        EventCorrelation / TSAArima) key on it."""
+        out = P.parse(df, raw_col, self.model)
+        named = [c for c in out.columns if c not in df.columns and c != "_parse_ok"]
+        out = out.withColumn(
+            "_event_type",
+            F.concat_ws(
+                ",", *[F.when(F.col(c).isNotNull(), F.lit(c)) for c in named]
+            ),
+        )
+        # the reference's match_dict lookup of an absent path yields None
+        # (rule never matches); emulate for Analysis paths the parser model
+        # never produces, so every configured rule/detector is runnable
+        for c in sorted(self.referenced_cols):
+            if c not in out.columns:
+                out = out.withColumn(c, F.lit(None).cast("string"))
+        return out
 
     def run_detectors(self, parsed: DataFrame) -> dict[str, DataFrame]:
         return {did: b(parsed) for did, b in self.detectors.items()}
@@ -525,20 +757,137 @@ def load_reference_config(
     ts_paths = (data.get("Input") or {}).get("timestamp_paths") or []
     ts_col = path_col(ts_paths[0]) if ts_paths else None
 
+    analysis = data.get("Analysis") or []
+    bin_defs = {
+        e.get("id", "?"): e for e in analysis if str(e.get("type", "")).endswith("BinDefinition")
+    }
+    # registry types consumed by a post-pass rather than built directly:
+    # match actions fire when their owning rule matches; correlation rules
+    # + class selectors describe the A→B check TimeCorrelationViolation-
+    # Detector runs (the engine's implication_within operator).
+    _REGISTRY_TYPES = {
+        "EventGenerationMatchAction",
+        "CorrelationRule",
+        "EventClassSelector",
+        "TimeCorrelationViolationDetector",
+    }
     rules: dict[str, Column] = {}
     detectors: dict[str, Builder] = {}
-    for entry in data.get("Analysis") or []:
+    rule_actions: dict[str, list[str]] = {}  # action id -> owning rule ids
+    for entry in analysis:
         t = entry.get("type", "?")
         eid = entry.get("id", t)
+        if str(t).endswith("BinDefinition") or t in _REGISTRY_TYPES:
+            continue
         try:
             if t in _RULE_TYPES:
                 rules[eid] = _build_rule(entry, rules)
+                if entry.get("match_action"):
+                    rule_actions.setdefault(entry["match_action"], []).append(eid)
             else:
-                detectors[eid] = _detector_builder(entry, rules, ts_col, order_col)
+                detectors[eid] = _detector_builder(
+                    entry, rules, ts_col, order_col, bin_defs
+                )
         except ReferenceConfigError as e:
             if strict:
                 raise
             skipped.append((eid, str(e)))
+
+    # post-pass 1: EventGenerationMatchAction — emit a row whenever any
+    # owning rule matches (the action's generated event, as violation rows)
+    for entry in analysis:
+        if entry.get("type") != "EventGenerationMatchAction":
+            continue
+        eid = entry.get("id", "?")
+        owners = [rules[r] for r in rule_actions.get(eid, []) if r in rules]
+        if owners:
+            detectors[eid] = (
+                lambda df, _r=R.or_(*owners), _msg=entry.get("event_message", ""): (
+                    R.match_filter(df, _r).withColumn("message", F.lit(_msg))
+                )
+            )
+        elif not strict:
+            skipped.append((eid, "no built rule references this match action"))
+
+    # post-pass 2: CorrelationRule + EventClassSelector +
+    # TimeCorrelationViolationDetector -> implication_within per rule
+    sel_roles: dict[str, list[tuple[str, str]]] = {}  # action id -> (corr rule, role)
+    for entry in analysis:
+        if entry.get("type") != "EventClassSelector":
+            continue
+        aid = entry.get("action_id", "?")
+        for r in entry.get("artefact_a_rules") or []:
+            sel_roles.setdefault(aid, []).append((r, "a"))
+        for r in entry.get("artefact_b_rules") or []:
+            sel_roles.setdefault(aid, []).append((r, "b"))
+    corr_rules = {
+        e.get("rule_id", e.get("id", "?")): e
+        for e in analysis
+        if e.get("type") == "CorrelationRule"
+    }
+    for entry in analysis:
+        if entry.get("type") != "TimeCorrelationViolationDetector":
+            continue
+        eid = entry.get("id", "?")
+        try:
+            if ts_col is None:
+                raise ReferenceConfigError("needs Input.timestamp_paths for ts column")
+            # per correlation rule: A-condition = OR of rules whose match
+            # action selects it as artefact A; same for B
+            sides: dict[str, dict[str, list[Column]]] = {}
+            for aid, owners in rule_actions.items():
+                for cid, role in sel_roles.get(aid, []):
+                    for rid in owners:
+                        if rid in rules:
+                            sides.setdefault(cid, {}).setdefault(role, []).append(
+                                rules[rid]
+                            )
+            pairs = [
+                (cid, d["a"], d["b"], corr_rules[cid])
+                for cid, d in sides.items()
+                if "a" in d and "b" in d and cid in corr_rules
+            ]
+            if not pairs:
+                raise ReferenceConfigError(
+                    "no correlation rule with both A and B selectors resolved"
+                )
+            from logdata_anomaly_miner_spark.operators.correlation import (
+                implication_within,
+            )
+
+            def tcvd(df: DataFrame, _pairs=pairs) -> DataFrame:
+                outs = []
+                for cid, a_rules, b_rules, ce in _pairs:
+                    v = implication_within(
+                        df,
+                        R.or_(*a_rules),
+                        R.or_(*b_rules),
+                        float(ce.get("min_time_delta", 0)),
+                        float(ce.get("max_time_delta", 60)),
+                        ts_col=ts_col,
+                    ).withColumn("correlation_rule", F.lit(cid))
+                    outs.append(v)
+                out = outs[0]
+                for o in outs[1:]:
+                    out = out.unionByName(o)
+                return out
+
+            detectors[eid] = tcvd
+        except ReferenceConfigError as e:
+            if strict:
+                raise
+            skipped.append((eid, str(e)))
+
+    referenced: set[str] = set()
+    if ts_col:
+        referenced.add(ts_col)
+    for entry in analysis:
+        for key in ("path", "paths", "id_path_list", "ignore_list"):
+            v = entry.get(key)
+            if isinstance(v, str):
+                referenced.add(path_col(v))
+            elif isinstance(v, list):
+                referenced.update(path_col(p) for p in v if isinstance(p, str))
 
     return ReferenceConfig(
         model=elements[root],
@@ -547,6 +896,7 @@ def load_reference_config(
         detectors=detectors,
         skipped=skipped,
         approximations=approximations,
+        referenced_cols=referenced,
         timestamp_col=ts_col,
         order_col=order_col,
         learn_mode=data.get("LearnMode"),
