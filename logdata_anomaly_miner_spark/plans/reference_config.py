@@ -107,6 +107,15 @@ def strptime_to_spark(fmt: str) -> tuple[str, str]:
 # Parser section -> Elements
 # ---------------------------------------------------------------------------
 
+@dataclass
+class JsonModel:
+    """A JsonModelElement root: dotted leaf path -> value-parsing Element
+    (compiled by parsing.parse_json_string_models instead of one regex)."""
+
+    models: dict[str, P.Element]
+    name: str | None = None
+
+
 def _clone_suffixed(e: P.Element, idx: int) -> P.Element:
     """Deep copy of an element subtree with every named group suffixed —
     reference models reuse one component in several branches, but a single
@@ -135,12 +144,17 @@ def _build_element(
             raise ReferenceConfigError(
                 f"element {entry.get('id')!r} references unknown id {eid!r}"
             )
+        e = elements[eid]
+        if not isinstance(e, P.Element):
+            raise ReferenceConfigError(
+                f"{eid!r} is a JSON model; it cannot nest inside a regex composite"
+            )
         if ref_counts is not None:
             n = ref_counts.get(eid, 0) + 1
             ref_counts[eid] = n
             if n > 1:  # re-referenced subtree: clone with fresh group names
-                return _clone_suffixed(elements[eid], n)
-        return elements[eid]
+                return _clone_suffixed(e, n)
+        return e
 
     if t == "FixedDataModelElement":
         return P.fixed(str(args))
@@ -172,7 +186,12 @@ def _build_element(
     if t == "IpAddressDataModelElement":
         return P.ip_address_v6(name) if entry.get("ipv6", False) else P.ip_address(name)
     if t == "DateTimeModelElement":
-        spark_fmt, rx = strptime_to_spark(entry["date_format"])
+        fmt = entry["date_format"]
+        if fmt.replace("%s", "").replace(".%f", "") == "":
+            # epoch-seconds format ('%s' / '%s.%f'): not a to_timestamp
+            # pattern — capture the number, typed as double epoch seconds
+            return P.Element(P._grp(name, r"\d+(?:\.\d+)?"), name, "double")
+        spark_fmt, rx = strptime_to_spark(fmt)
         return P.datetime_el(name, spark_fmt, rx)
     if t == "DebugModelElement":
         return P.debug_el(name or "debug")
@@ -230,6 +249,42 @@ def _build_element(
                 (entry.get("id", t), "value->branch coupling relaxed to first_match; tighten with parse_value_branches")
             )
         return P.seq(vm, P.first_match(*branches))
+    if t == "JsonModelElement":
+        # compiled by parse_json_string_models (per-key value models over
+        # dotted leaf paths) instead of one regex; arrays of objects are
+        # parsed at index 0 (recorded approximation)
+        models: dict[str, P.Element] = {}
+
+        def walk(d: dict, prefix: str) -> None:
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    walk(v, f"{prefix}{k}.")
+                elif isinstance(v, list):
+                    if v and isinstance(v[0], dict):
+                        if approximations is not None:
+                            approximations.append(
+                                (entry.get("id", t), f"array '{prefix}{k}' parsed at index 0 only")
+                            )
+                        walk(v[0], f"{prefix}{k}[0].")
+                elif isinstance(v, str):
+                    # JsonModelElement special tokens (reference
+                    # JsonModelElement.py:62-90): shape-only constraints,
+                    # not value parsers — no per-key model needed
+                    if v in (
+                        "ALLOW_ALL",
+                        "ALLOW_ALL_KEYS",
+                        "EMPTY_ARRAY",
+                        "EMPTY_OBJECT",
+                        "EMPTY_STRING",
+                        "NULL_OBJECT",
+                    ):
+                        continue
+                    models[f"{prefix}{k}"] = ref(v)
+
+        walk(entry.get("key_parser_dict") or {}, "")
+        if not models:
+            raise ReferenceConfigError("empty key_parser_dict")
+        return JsonModel(models, name)
     raise ReferenceConfigError(f"unsupported parser element type {t!r}")
 
 
@@ -485,6 +540,9 @@ def _detector_builder(
 
         return lambda df: parser_counts(df, cols[0] if cols else "_event_type")
 
+    if t in ("SimpleUnparsedAtomHandler", "VerboseUnparsedAtomHandler"):
+        return lambda df: df.filter(~F.coalesce(F.col("_parse_ok"), F.lit(False)))
+
     if t == "EventTypeDetector":
         from logdata_anomaly_miner_spark.constraints.column_stats import column_stats
 
@@ -657,7 +715,7 @@ def _detector_builder(
 
 @dataclass
 class ReferenceConfig:
-    model: P.Element
+    model: P.Element | JsonModel
     elements: dict[str, P.Element]
     rules: dict[str, Column]
     detectors: dict[str, Builder]
@@ -674,7 +732,10 @@ class ReferenceConfig:
         EventTypeDetector keys event types (the set of parsed paths).
         Detectors configured without explicit paths (EventFrequency /
         EventCorrelation / TSAArima) key on it."""
-        out = P.parse(df, raw_col, self.model)
+        if isinstance(self.model, JsonModel):
+            out = P.parse_json_string_models(df, raw_col, self.model.models)
+        else:
+            out = P.parse(df, raw_col, self.model)
         named = [c for c in out.columns if c not in df.columns and c != "_parse_ok"]
         out = out.withColumn(
             "_event_type",
@@ -754,7 +815,10 @@ def load_reference_config(
             f"root parser id {root!r} not found/built; skipped elements: {skipped}"
         )
 
-    ts_paths = (data.get("Input") or {}).get("timestamp_paths") or []
+    inp = data.get("Input") or {}
+    ts_paths = inp.get("timestamp_paths")
+    if isinstance(ts_paths, str):  # some configs write the literal 'None'
+        ts_paths = [] if ts_paths == "None" else [ts_paths]
     ts_col = path_col(ts_paths[0]) if ts_paths else None
 
     analysis = data.get("Analysis") or []

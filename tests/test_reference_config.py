@@ -184,6 +184,40 @@ def test_unknown_type_strict_vs_lenient(spark):
 
 
 DEMO = "/root/reference/aecid-testsuite/demo/aminer/demo-config.yml"
+DEMO_JSON = (
+    "/root/reference/aecid-testsuite/demo/aminerJsonInputDemo/json-input-demo-config.yml"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(DEMO_JSON), reason="reference tree absent")
+def test_loads_real_json_demo_config(spark):
+    """A JsonModelElement-rooted config compiles to the per-key model
+    pathway (parse_json_string_models) and its detectors run."""
+    from logdata_anomaly_miner_spark.plans.reference_config import JsonModel
+
+    cfg = load_reference_config(DEMO_JSON)
+    assert isinstance(cfg.model, JsonModel) and cfg.skipped == []
+    assert "menu.id" in cfg.model.models
+    docs = [
+        '{"menu": {"id": "file", "value": "File", "popup": {"menuitem": '
+        '[{"value": "New", "onclick": "CreateNewDoc()"}]}}}',
+        '{"menu": {"id": "edit", "value": "Edit", "popup": {"menuitem": '
+        '[{"value": "Open", "onclick": "OpenDoc()"}]}}}',
+        "not json at all",
+    ]
+    raw = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "line_no long, raw string"
+    )
+    parsed = cfg.parse(raw, "raw")
+    rows = parsed.orderBy("line_no").collect()
+    assert [r["_parse_ok"] for r in rows] == [True, True, False]
+    assert rows[0]["id"] == "file" and rows[1]["value"] == "Edit"
+    combos = cfg.detectors["NewMatchPathValueCombo"](
+        parsed.filter("_parse_ok")
+    ).collect()
+    assert len(combos) == 2  # two first-seen (id, value) combos
+    unparsed = cfg.detectors["SimpleUnparsedAtomHandler"](parsed).collect()
+    assert [r["line_no"] for r in unparsed] == [2]
 
 
 @pytest.mark.skipif(not os.path.exists(DEMO), reason="reference tree absent")
