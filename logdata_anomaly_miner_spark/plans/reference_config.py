@@ -116,6 +116,18 @@ class JsonModel:
     name: str | None = None
 
 
+@dataclass
+class XmlModel:
+    """An XmlModelElement root: a from_xml schema plus per-leaf value
+    Elements. ``leaves`` entries are (out_col, access tokens — a trailing
+    '#0' token indexes a repeated element's first occurrence —, Element,
+    optional?)."""
+
+    schema: object  # T.StructType
+    leaves: list[tuple[str, list[str], P.Element | None, bool]]
+    name: str | None = None
+
+
 def _clone_suffixed(e: P.Element, idx: int) -> P.Element:
     """Deep copy of an element subtree with every named group suffixed —
     reference models reuse one component in several branches, but a single
@@ -285,6 +297,73 @@ def _build_element(
         if not models:
             raise ReferenceConfigError("empty key_parser_dict")
         return JsonModel(models, name)
+    if t == "XmlModelElement":
+        # reference key prefixes (XmlModelElement.py:48-63): '+' attribute,
+        # '_+' optional attribute, '?' empty-allowed element; a LIST value
+        # is a repeated child element (ArrayType; leaf models applied to
+        # occurrence 0, recorded as an approximation)
+        from pyspark.sql import types as T
+
+        leaves: list[tuple[str, list[str], P.Element | None, bool]] = []
+
+        def xml_struct(d: dict, path: list[str]) -> "T.StructType":
+            fields = []
+            for k, v in d.items():
+                if k.startswith("_+"):
+                    fk, optional = "_" + k[2:], True
+                elif k.startswith("+"):
+                    fk, optional = "_" + k[1:], False
+                elif k.startswith("?"):
+                    fk, optional = k[1:], True
+                else:
+                    fk, optional = k, False
+                if isinstance(v, dict):
+                    fields.append(
+                        T.StructField(fk, xml_struct(v, path + [fk]), True)
+                    )
+                elif isinstance(v, list):
+                    merged: dict = {}
+                    for item in v:
+                        if isinstance(item, dict):
+                            merged.update(item)
+                    sub = []
+                    for ck, cv in merged.items():
+                        if isinstance(cv, dict):
+                            if approximations is not None:
+                                approximations.append(
+                                    (entry.get("id", t), f"repeated element '{ck}' parsed at occurrence 0 only")
+                                )
+                            sub.append(
+                                T.StructField(
+                                    ck,
+                                    T.ArrayType(
+                                        xml_struct(cv, path + [fk, f"{ck}#0"])
+                                    ),
+                                    True,
+                                )
+                            )
+                    fields.append(T.StructField(fk, T.StructType(sub), True))
+                else:
+                    el = ref(v)
+                    # display name: the element's capture name, else the
+                    # config key without its attribute/optional prefix —
+                    # what Analysis paths (/…/opt/opt) address
+                    disp = el.name or re.sub(r"^(_\+|\+|\?)", "", k)
+                    leaves.append((disp, path + [fk], el, optional))
+                    fields.append(T.StructField(fk, T.StringType(), True))
+            return T.StructType(fields)
+
+        schema = xml_struct(entry.get("key_parser_dict") or {}, [])
+        if not leaves:
+            raise ReferenceConfigError("empty key_parser_dict")
+        # from_xml's schema describes the ROOT element's children; a single
+        # top-level key IS the document root tag — unwrap it
+        if len(schema.fields) == 1 and isinstance(
+            schema.fields[0].dataType, T.StructType
+        ):
+            schema = schema.fields[0].dataType
+            leaves = [(oc, toks[1:], el, opt) for (oc, toks, el, opt) in leaves]
+        return XmlModel(schema, leaves, name)
     raise ReferenceConfigError(f"unsupported parser element type {t!r}")
 
 
@@ -715,7 +794,7 @@ def _detector_builder(
 
 @dataclass
 class ReferenceConfig:
-    model: P.Element | JsonModel
+    model: P.Element | JsonModel | XmlModel
     elements: dict[str, P.Element]
     rules: dict[str, Column]
     detectors: dict[str, Builder]
@@ -734,6 +813,29 @@ class ReferenceConfig:
         EventCorrelation / TSAArima) key on it."""
         if isinstance(self.model, JsonModel):
             out = P.parse_json_string_models(df, raw_col, self.model.models)
+        elif isinstance(self.model, XmlModel):
+            from logdata_anomaly_miner_spark.sources.readers import parse_xml_atoms
+
+            out = parse_xml_atoms(df, self.model.schema, raw_col)
+            ok = F.col("_parse_ok")
+            for out_col, toks, el, optional in self.model.leaves:
+                c = F.col("parsed")
+                for tok in toks:
+                    if tok.endswith("#0"):
+                        c = c.getField(tok[:-2]).getItem(0)
+                    else:
+                        c = c.getField(tok)
+                c = c.cast("string")
+                out = out.withColumn(out_col, c)
+                leaf_ok = (
+                    c.rlike(f"^(?:{el.pattern})$") if el is not None else F.lit(True)
+                )
+                ok = ok & (
+                    (c.isNull() | leaf_ok)
+                    if optional
+                    else (c.isNotNull() & leaf_ok)
+                )
+            out = out.withColumn("_parse_ok", ok).drop("parsed")
         else:
             out = P.parse(df, raw_col, self.model)
         named = [c for c in out.columns if c not in df.columns and c != "_parse_ok"]

@@ -220,6 +220,39 @@ def test_loads_real_json_demo_config(spark):
     assert [r["line_no"] for r in unparsed] == [2]
 
 
+DEMO_XML = (
+    "/root/reference/aecid-testsuite/demo/aminerXmlInputDemo/xml-input-demo-config.yml"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(DEMO_XML), reason="reference tree absent")
+def test_loads_real_xml_demo_config(spark):
+    """An XmlModelElement-rooted config compiles to a from_xml schema with
+    attribute/optional prefixes honored and per-leaf Element validation."""
+    from logdata_anomaly_miner_spark.plans.reference_config import XmlModel
+
+    cfg = load_reference_config(DEMO_XML)
+    assert isinstance(cfg.model, XmlModel) and cfg.skipped == []
+    doc = (
+        '<?xml version="1.0"?><messages><note id="42" opt="text">'
+        "<to>alice</to><from>bob</from><heading>hi</heading>"
+        "<body><text1>x</text1><text2>y</text2></body></note></messages>"
+    )
+    raw = spark.createDataFrame(
+        [(0, doc), (1, "not xml")], "line_no long, raw string"
+    )
+    parsed = cfg.parse(raw, "raw")
+    rows = parsed.orderBy("line_no").collect()
+    assert [r["_parse_ok"] for r in rows] == [True, False]
+    assert rows[0]["id"] == "42" and rows[0]["opt"] == "text"
+    assert rows[0]["to"] == "alice" and rows[0]["text2"] == "y"
+    combos = cfg.detectors["NewMatchPathValueCombo"](
+        parsed.filter("_parse_ok")
+    ).collect()
+    assert len(combos) == 1
+    assert cfg.detectors["SimpleUnparsedAtomHandler"](parsed).count() == 1
+
+
 @pytest.mark.skipif(not os.path.exists(DEMO), reason="reference tree absent")
 def test_loads_real_demo_config(spark):
     """The actual reference demo config builds: the full parser model
