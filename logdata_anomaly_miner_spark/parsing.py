@@ -240,6 +240,22 @@ def compile_model(model: Element) -> str:
     return f"^{model.pattern}$"
 
 
+def apply_caster(val: Column, caster: str | None) -> Column:
+    """Typed conversion for an extracted string value (the Element caster
+    vocabulary: long | double | base64 | ip | ts:<fmt>)."""
+    if caster == "long":
+        return val.try_cast("long")
+    if caster == "double":
+        return val.try_cast("double")
+    if caster == "base64":
+        return F.unbase64(val)
+    if caster == "ip":
+        return _ip_to_long(val)
+    if caster and caster.startswith("ts:"):
+        return F.to_timestamp(val, caster[3:])
+    return val
+
+
 def parse(df: DataFrame, raw_col: str, model: Element) -> DataFrame:
     """Apply the compiled model: one regexp pass per named group + _parse_ok.
     Unmatched lines keep null groups and _parse_ok = false (first-class
@@ -253,18 +269,7 @@ def parse(df: DataFrame, raw_col: str, model: Element) -> DataFrame:
         # scanning the pattern for capture-group openings in order.
         idx = _group_index(rx, gname)
         val = F.when(F.col("_parse_ok"), F.regexp_extract(F.col(raw_col), rx, idx))
-        if caster == "long":
-            col = val.try_cast("long")
-        elif caster == "double":
-            col = val.try_cast("double")
-        elif caster == "base64":
-            col = F.unbase64(val)
-        elif caster == "ip":
-            col = _ip_to_long(val)
-        elif caster and caster.startswith("ts:"):
-            col = F.to_timestamp(val, caster[3:])
-        else:
-            col = val
+        col = apply_caster(val, caster)
         # empty-string groups from non-participating alternations -> null
         col = F.when(F.col("_parse_ok") & (F.length(val) > 0), col)
         out = out.withColumn(gname, col)

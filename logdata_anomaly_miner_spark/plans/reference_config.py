@@ -299,61 +299,91 @@ def _build_element(
         return JsonModel(models, name)
     if t == "XmlModelElement":
         # reference key prefixes (XmlModelElement.py:48-63): '+' attribute,
-        # '_+' optional attribute, '?' empty-allowed element; a LIST value
-        # is a repeated child element (ArrayType; leaf models applied to
-        # occurrence 0, recorded as an approximation)
+        # '_+' / '+_' optional attribute, '?' empty-allowed element; a LIST
+        # value is a repeated child element (ArrayType; leaf models applied
+        # to occurrence 0, recorded as an approximation); the JSON special
+        # tokens (ALLOW_ALL etc.) are shape-only — captured unvalidated
         from pyspark.sql import types as T
 
+        _SPECIAL = {
+            "ALLOW_ALL", "ALLOW_ALL_KEYS", "EMPTY_ARRAY",
+            "EMPTY_OBJECT", "EMPTY_STRING", "NULL_OBJECT",
+        }
         leaves: list[tuple[str, list[str], P.Element | None, bool]] = []
+        disp_used: dict[str, int] = {}
 
-        def xml_struct(d: dict, path: list[str]) -> "T.StructType":
+        def xml_key(k: str) -> tuple[str, str, bool]:
+            """config key -> (schema field, display base, optional)."""
+            if k.startswith(("_+", "+_")):
+                return "_" + k[2:], k[2:], True
+            if k.startswith("+"):
+                return "_" + k[1:], k[1:], False
+            if k.startswith("?"):
+                return k[1:], k[1:], True
+            return k, k, False
+
+        def add_leaf(disp_base: str, toks: list[str], el, optional: bool) -> None:
+            # the element's capture name wins; collisions (e.g. two
+            # unnamed Fixed leaves under the same key at different
+            # paths) get a numeric suffix instead of overwriting
+            disp = (el.name if el is not None and el.name else disp_base) or "leaf"
+            n = disp_used.get(disp, 0) + 1
+            disp_used[disp] = n
+            if n > 1:
+                disp = f"{disp}{n}"
+            leaves.append((disp, toks, el, optional))
+
+        def xml_struct(d: dict, path: list[str], opt_parent: bool) -> "T.StructType":
             fields = []
             for k, v in d.items():
-                if k.startswith("_+"):
-                    fk, optional = "_" + k[2:], True
-                elif k.startswith("+"):
-                    fk, optional = "_" + k[1:], False
-                elif k.startswith("?"):
-                    fk, optional = k[1:], True
-                else:
-                    fk, optional = k, False
+                fk, base, k_opt = xml_key(k)
+                optional = opt_parent or k_opt
                 if isinstance(v, dict):
                     fields.append(
-                        T.StructField(fk, xml_struct(v, path + [fk]), True)
+                        T.StructField(fk, xml_struct(v, path + [fk], optional), True)
                     )
                 elif isinstance(v, list):
                     merged: dict = {}
                     for item in v:
                         if isinstance(item, dict):
                             merged.update(item)
+                        elif approximations is not None:
+                            approximations.append(
+                                (entry.get("id", t), f"unsupported list item under '{k}' skipped")
+                            )
                     sub = []
                     for ck, cv in merged.items():
+                        cfk, cbase, c_opt = xml_key(ck)
+                        c_optional = optional or c_opt
+                        if approximations is not None:
+                            approximations.append(
+                                (entry.get("id", t), f"repeated element '{cbase}' parsed at occurrence 0 only")
+                            )
                         if isinstance(cv, dict):
-                            if approximations is not None:
-                                approximations.append(
-                                    (entry.get("id", t), f"repeated element '{ck}' parsed at occurrence 0 only")
-                                )
                             sub.append(
                                 T.StructField(
-                                    ck,
+                                    cfk,
                                     T.ArrayType(
-                                        xml_struct(cv, path + [fk, f"{ck}#0"])
+                                        xml_struct(cv, path + [fk, f"{cfk}#0"], c_optional)
                                     ),
                                     True,
                                 )
                             )
+                        elif isinstance(cv, str):
+                            # repeated LEAF element: array of strings
+                            cel = None if cv in _SPECIAL else ref(cv)
+                            add_leaf(cbase, path + [fk, f"{cfk}#0"], cel, c_optional)
+                            sub.append(
+                                T.StructField(cfk, T.ArrayType(T.StringType()), True)
+                            )
                     fields.append(T.StructField(fk, T.StructType(sub), True))
-                else:
-                    el = ref(v)
-                    # display name: the element's capture name, else the
-                    # config key without its attribute/optional prefix —
-                    # what Analysis paths (/…/opt/opt) address
-                    disp = el.name or re.sub(r"^(_\+|\+|\?)", "", k)
-                    leaves.append((disp, path + [fk], el, optional))
+                elif isinstance(v, str):
+                    el = None if v in _SPECIAL else ref(v)
+                    add_leaf(base, path + [fk], el, optional or v in _SPECIAL)
                     fields.append(T.StructField(fk, T.StringType(), True))
             return T.StructType(fields)
 
-        schema = xml_struct(entry.get("key_parser_dict") or {}, [])
+        schema = xml_struct(entry.get("key_parser_dict") or {}, [], False)
         if not leaves:
             raise ReferenceConfigError("empty key_parser_dict")
         # from_xml's schema describes the ROOT element's children; a single
@@ -818,6 +848,10 @@ class ReferenceConfig:
 
             out = parse_xml_atoms(df, self.model.schema, raw_col)
             ok = F.col("_parse_ok")
+            # one select builds every leaf (no per-leaf withColumn chain);
+            # each leaf is regex-validated as a string, then typed via its
+            # Element caster (ts:/long/double/... — same as the regex path)
+            aliases = []
             for out_col, toks, el, optional in self.model.leaves:
                 c = F.col("parsed")
                 for tok in toks:
@@ -826,7 +860,6 @@ class ReferenceConfig:
                     else:
                         c = c.getField(tok)
                 c = c.cast("string")
-                out = out.withColumn(out_col, c)
                 leaf_ok = (
                     c.rlike(f"^(?:{el.pattern})$") if el is not None else F.lit(True)
                 )
@@ -835,7 +868,17 @@ class ReferenceConfig:
                     if optional
                     else (c.isNotNull() & leaf_ok)
                 )
-            out = out.withColumn("_parse_ok", ok).drop("parsed")
+                typed = P.apply_caster(c, el.caster if el is not None else None)
+                aliases.append(typed.alias(out_col))
+            out = out.select(
+                *[
+                    F.col(c)
+                    for c in out.columns
+                    if c not in ("parsed", "_parse_ok")
+                ],
+                ok.alias("_parse_ok"),
+                *aliases,
+            )
         else:
             out = P.parse(df, raw_col, self.model)
         named = [c for c in out.columns if c not in df.columns and c != "_parse_ok"]

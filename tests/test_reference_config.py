@@ -244,7 +244,8 @@ def test_loads_real_xml_demo_config(spark):
     parsed = cfg.parse(raw, "raw")
     rows = parsed.orderBy("line_no").collect()
     assert [r["_parse_ok"] for r in rows] == [True, False]
-    assert rows[0]["id"] == "42" and rows[0]["opt"] == "text"
+    # leaf Elements' casters apply: DecimalInteger leaf comes back typed
+    assert rows[0]["id"] == 42 and rows[0]["opt"] == "text"
     assert rows[0]["to"] == "alice" and rows[0]["text2"] == "y"
     combos = cfg.detectors["NewMatchPathValueCombo"](
         parsed.filter("_parse_ok")
