@@ -2006,10 +2006,10 @@ SELECT d.doc_id,
          x -> x IN ('the','and','of','to','in','is','that','with'))) * 1.0
          / len(regexp_extract_all(lower(text), '[a-z]+'))
     ELSE 0.0 END, 6) AS stopword_ratio,
-  fp.fp,
+  CAST(coalesce(fp.fp, 0) AS BIGINT) AS fp,
   lang.score_de, lang.score_en, lang.score_fr, lang.lang_pred
 FROM documents d
-JOIN fp ON d.doc_id = fp.doc_id
+LEFT JOIN fp ON d.doc_id = fp.doc_id
 JOIN lang ON d.doc_id = lang.doc_id
 """,
     "ann_topk": """

@@ -257,39 +257,55 @@ def mine_time_correlations(
     ts = F.col(ts_col).cast("double")
     oc = F.col(order_col)
 
-    vocabs = []
-    for c in feature_cols:
-        cnt = (
-            df.filter(F.col(c).isNotNull())
-            .groupBy(F.col(c).cast("string").alias("_val"))
-            .agg(F.count(F.lit(1)).alias("_n"))
+    # ONE melted pass over the corpus serves both the vocabulary counts
+    # and the trigger extraction (previously one groupBy + one join PER
+    # feature column = 2N corpus scans)
+    melt = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("_col"),
+                            F.col(c).cast("string").alias("_val"),
+                        )
+                        for c in feature_cols
+                    ]
+                )
+            ).alias("p"),
+            ts.alias("_ts"),
+            oc.alias("_oid"),
         )
-        # top-K by frequency (ties by value, so reproducible) as
-        # orderBy().limit() -> TakeOrderedAndProject: per-task heaps, K
-        # rows to the driver-side merge — never a partition-less
-        # row_number window over the (at scale, huge) distinct-value set
-        vocabs.append(
-            cnt.orderBy(F.col("_n").desc(), F.col("_val"))
-            .limit(max_features_per_path)
-            .select(
-                F.lit(c).alias("_col"),
-                F.col("_val"),
-                F.concat_ws("=", F.lit(c), F.col("_val")).alias("feature"),
+        .select("p._col", "p._val", "_ts", "_oid")
+        .filter(F.col("_val").isNotNull())
+    )
+    cnts = melt.groupBy("_col", "_val").agg(F.count(F.lit(1)).alias("_n")).persist()
+    try:
+        # per-column top-K by frequency (ties by value, reproducible) as
+        # orderBy().limit() -> TakeOrderedAndProject over the (aggregated,
+        # cached) count table — never a partition-less row_number window
+        vocabs = []
+        for c in feature_cols:
+            vocabs.append(
+                cnts.filter(F.col("_col") == c)
+                .orderBy(F.col("_n").desc(), F.col("_val"))
+                .limit(max_features_per_path)
+                .select(
+                    "_col",
+                    "_val",
+                    F.concat_ws("=", F.lit(c), F.col("_val")).alias("feature"),
+                )
             )
-        )
-    vocab = vocabs[0]
-    for v in vocabs[1:]:
-        vocab = vocab.unionByName(v)
+        vocab = vocabs[0]
+        for v in vocabs[1:]:
+            vocab = vocab.unionByName(v)
+        vocab = vocab.localCheckpoint(eager=True)  # tiny; frees cnts below
+    finally:
+        cnts.unpersist()
 
-    trigs = None
-    for c in feature_cols:
-        t = df.select(
-            F.col(c).cast("string").alias("_val"), ts.alias("_ts"), oc.alias("_oid")
-        ).join(
-            F.broadcast(vocab.filter(F.col("_col") == c).select("_val", "feature")),
-            "_val",
-        ).select("feature", "_ts", "_oid")
-        trigs = t if trigs is None else trigs.unionByName(t)
+    trigs = melt.join(F.broadcast(vocab), ["_col", "_val"]).select(
+        "feature", "_ts", "_oid"
+    )
 
     counts = trigs.groupBy("feature").agg(F.count(F.lit(1)).alias("triggers"))
 

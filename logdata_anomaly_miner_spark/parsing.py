@@ -252,7 +252,10 @@ def apply_caster(val: Column, caster: str | None) -> Column:
     if caster == "ip":
         return _ip_to_long(val)
     if caster and caster.startswith("ts:"):
-        return F.to_timestamp(val, caster[3:])
+        # try_: a regex-matching but calendar-invalid value ('2024-99-99')
+        # must yield null, not abort the job under ANSI mode — unparsed
+        # atoms are first-class
+        return F.try_to_timestamp(val, F.lit(caster[3:]))
     return val
 
 
@@ -557,8 +560,16 @@ def parse_json_string_models(
     Documented deviation: values are stringified by the JSON grammar
     (true/false, raw numbers) rather than Python str().
 
+    A row parses only if the JSON is an OBJECT (arrays/scalars/invalid are
+    unparsed — json_leaf_paths yields null for them) and every configured
+    key is PRESENT (reference :185-204: a missing key fails the match;
+    ignore_null skips only keys present with a null VALUE). Keys containing
+    an array index ('menuitem[0].value') fall back to value-null semantics
+    — get_json_object cannot distinguish absent from null there.
+
     Adds each model's named group columns plus ``_parse_ok``."""
-    out = df
+    leaves_col = "_jsm_leaves"
+    out = df.withColumn(leaves_col, json_leaf_paths(F.col(field_col)))
     ok_cols: list[str] = []
     tmp_cols: list[str] = []
     for i, (key, model) in enumerate(key_models.items()):
@@ -572,15 +583,22 @@ def parse_json_string_models(
         kok = F.coalesce(F.col("_parse_ok"), F.lit(False))
         if ignore_null:
             kok = F.col(tmp).isNull() | kok
+        if "[" not in key:
+            present = F.coalesce(
+                F.array_contains(F.col(leaves_col), key), F.lit(False)
+            )
+            kok = present & kok
         out = out.withColumn(f"_jsm_ok_{i}", kok).drop("_parse_ok")
         ok_cols.append(f"_jsm_ok_{i}")
         tmp_cols.append(tmp)
-    valid_json = F.get_json_object(F.col(field_col), "$").isNotNull()
-    all_ok = valid_json
+    all_ok = F.col(leaves_col).isNotNull()  # object-ness, not mere validity
     for c in ok_cols:
         all_ok = all_ok & F.col(c)
     if strict:
         expected = F.array(*[F.lit(k) for k in key_models])
-        leaves = json_leaf_paths(F.col(field_col))
-        all_ok = all_ok & (F.sort_array(leaves) == F.sort_array(expected))
-    return out.withColumn("_parse_ok", all_ok).drop(*ok_cols, *tmp_cols)
+        all_ok = all_ok & (
+            F.sort_array(F.col(leaves_col)) == F.sort_array(expected)
+        )
+    return out.withColumn("_parse_ok", all_ok).drop(
+        *ok_cols, *tmp_cols, leaves_col
+    )

@@ -78,12 +78,22 @@ _STRPTIME = {
 
 def strptime_to_spark(fmt: str) -> tuple[str, str]:
     """Translate a reference strptime date_format into (Spark format,
-    matching regex). Literal letters are single-quoted for Spark."""
+    matching regex). Literal letters are quoted for Spark; ADJACENT
+    literal letters share one quoted run ('at', not 'a''t' — Java's
+    DateTimeFormatter reads '' inside quotes as a literal quote)."""
     out_fmt: list[str] = []
     out_rx: list[str] = []
+    lit_run: list[str] = []
+
+    def flush_run() -> None:
+        if lit_run:
+            out_fmt.append("'" + "".join(lit_run) + "'")
+            lit_run.clear()
+
     i = 0
     while i < len(fmt):
         if fmt[i] == "%":
+            flush_run()
             d = fmt[i : i + 2]
             if d not in _STRPTIME:
                 raise ReferenceConfigError(f"unsupported strptime directive {d!r}")
@@ -97,9 +107,14 @@ def strptime_to_spark(fmt: str) -> tuple[str, str]:
             i += 2
         else:
             ch = fmt[i]
-            out_fmt.append(f"'{ch}'" if ch.isalpha() else ch)
+            if ch.isalpha():
+                lit_run.append(ch)
+            else:
+                flush_run()
+                out_fmt.append(ch)
             out_rx.append(re.escape(ch))
             i += 1
+    flush_run()
     return "".join(out_fmt), "".join(out_rx)
 
 
@@ -206,7 +221,9 @@ def _build_element(
         spark_fmt, rx = strptime_to_spark(fmt)
         return P.datetime_el(name, spark_fmt, rx)
     if t == "DebugModelElement":
-        return P.debug_el(name or "debug")
+        # fall back to the (unique) entry id so two nameless debug
+        # elements never compile to a duplicate regex group name
+        return P.debug_el(name or _sanitize(str(entry.get("id", "debug"))))
     if t == "SequenceModelElement":
         return P.seq(*[ref(a) for a in args])
     if t == "FirstMatchModelElement":
@@ -584,8 +601,13 @@ def _detector_builder(
             check_value_range_sequential,
         )
 
+        # reference ValueRangeDetector.py:32-41: id_path_list = group
+        # identifiers, paths (target_path_list) = the value path
+        if not cols:
+            raise ReferenceConfigError("needs paths (target value path)")
+        vr_ids = [path_col(p) for p in entry.get("id_path_list", [])]
         return lambda df: check_value_range_sequential(
-            df, id_cols=cols[:-1], value_col=cols[-1], order_cols=[order_col]
+            df, id_cols=vr_ids, value_col=cols[0], order_cols=[order_col]
         )[0]
 
     if t == "EntropyDetector":
@@ -619,13 +641,13 @@ def _detector_builder(
         from logdata_anomaly_miner_spark.operators.sequence import check_new_sequences
 
         ids = [path_col(p) for p in entry.get("id_path_list", [])]
-        if not cols and not ids:
-            raise ReferenceConfigError("needs paths or id_path_list")
         length = int(entry.get("seq_len", 3))
-        value_col = cols[0] if cols else ids[-1]
+        # reference EventSequenceDetector.py:96-135: sequences ALWAYS
+        # partition by id_path_list; the symbol is target paths when
+        # given, else the event type
+        value_col = cols[0] if cols else "_event_type"
         return lambda df: check_new_sequences(
-            df, value_col, None, n=length,
-            id_cols=ids if cols else [], order_cols=[order_col],
+            df, value_col, None, n=length, id_cols=ids, order_cols=[order_col]
         )
 
     if t == "EventFrequencyDetector":

@@ -299,6 +299,41 @@ def test_ip_address_v6(spark):
     assert out[8]["ip6"] == "1:2:3:4:5:6:7.8.9.10"
 
 
+def test_json_string_models_rejects_non_objects_and_missing_keys(spark):
+    """Reference parity: arrays/scalars are not objects -> unparsed
+    (:104-130); a MISSING configured key fails the match (:185-204) while
+    a PRESENT null value is skipped under ignore_null (:168-172)."""
+    from logdata_anomaly_miner_spark.parsing import (
+        decimal_integer,
+        parse_json_string_models,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, '{"a": 7}'),        # ok
+            (1, "[1, 2, 3]"),       # array -> unparsed
+            (2, '"scalar"'),        # scalar -> unparsed
+            (3, '{"b": 1}'),        # key a missing -> unparsed
+            (4, '{"a": null}'),      # present null -> skipped (ok)
+        ],
+        "i long, payload string",
+    )
+    out = parse_json_string_models(df, "payload", {"a": decimal_integer("a")})
+    got = {r["i"]: r["_parse_ok"] for r in out.collect()}
+    assert got == {0: True, 1: False, 2: False, 3: False, 4: True}
+
+
+def test_ts_caster_calendar_invalid_is_null_not_crash(spark):
+    """A regex-matching but calendar-invalid timestamp must yield a null
+    value, not abort the job (unparsed atoms are first-class)."""
+    m = P.datetime_el("dt", "yyyy-MM-dd HH:mm:ss", r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}")
+    df = spark.createDataFrame(
+        [("2024-01-05 10:00:00",), ("2024-99-99 99:99:99",)], "raw string"
+    )
+    rows = P.parse(df, "raw", m).orderBy("raw").collect()
+    assert rows[0]["dt"] is not None and rows[1]["dt"] is None
+
+
 def test_json_string_models_parity(spark):
     """JsonStringModelElement nested-model re-parse, replaying the
     reference unit-test scenarios (aecid-testsuite/unit/parsing/
