@@ -155,3 +155,57 @@ def test_ivf_topk_recall(spark):
         ).collect()
     ]
     assert approx == exact
+
+
+def test_connected_components_vs_union_find(spark):
+    """Alternating large-star/small-star components match a plain-Python
+    union-find on a seeded random graph plus a long path (the path forces
+    multiple rounds — a one-round-converging test would not exercise the
+    alternation)."""
+    import random
+
+    from logdata_anomaly_miner_spark.functions.dedup import (
+        connected_components,
+        dup_clusters,
+    )
+
+    rng = random.Random(42)
+    edges = [(f"d{rng.randrange(120):03d}", f"d{rng.randrange(120):03d}") for _ in range(90)]
+    edges += [(f"p{i:03d}", f"p{i+1:03d}") for i in range(40)]  # path of 41 nodes
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonical: min member per component
+    members: dict[str, list[str]] = {}
+    for n in parent:
+        members.setdefault(find(n), []).append(n)
+    expected = {n: min(members[find(n)]) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == expected
+
+    clusters = {
+        r["component"]: r["n_members"] for r in dup_clusters(pairs).collect()
+    }
+    assert clusters == {c: len(ms) for c, ms in members.items()}
+    # the 41-node path collapsed into one cluster rooted at p000
+    assert clusters["p000"] == 41
