@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 def _chars(df: DataFrame, value_col: str, group_cols: Sequence[str]) -> DataFrame:
     return df.select(
         *group_cols,
-        F.explode(F.regexp_extract_all(F.col(value_col), F.lit("."), 0)).alias("ch"),
+        # (?s): dot must also match line terminators — the reference
+        # iterates every byte, so \n/\r in a value are characters too
+        F.explode(F.regexp_extract_all(F.col(value_col), F.lit("(?s)."), 0)).alias("ch"),
     ).dropDuplicates()
 
 

@@ -32,8 +32,18 @@ def contingency(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
 
 def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """One-row chi² independence statistic: Σ (O−E)²/E with
-    E = row_total·col_total/N. All joins are on the (small) marginal keys."""
-    obs = contingency(df, col_a, col_b)
+    E = row_total·col_total/N. All joins are on the (small) marginal keys.
+
+    Rows where either variable is null are EXCLUDED up front (the
+    reference correlates variables over atoms that contain both paths).
+    Without the filter, null groups enter the marginals but the cells-obs
+    equi-join can never match them (null != null), silently zeroing their
+    observed counts and inflating the statistic."""
+    obs = contingency(
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull()),
+        col_a,
+        col_b,
+    )
     ra = obs.groupBy("a").agg(F.sum("cnt").alias("ra"))
     rb = obs.groupBy("b").agg(F.sum("cnt").alias("rb"))
     n = obs.agg(F.sum("cnt").alias("n"))
@@ -77,6 +87,12 @@ def chi_square_pairs(
                 "dof",
             )
             outs.append(one)
+    if not outs:  # fewer than two columns: empty result, not IndexError
+        return df.sparkSession.createDataFrame(
+            [],
+            "col_a string, col_b string, chi2 double, dof long, "
+            "z double, dependent boolean",
+        )
     combined = outs[0]
     for o in outs[1:]:
         combined = combined.unionByName(o)
@@ -127,8 +143,6 @@ def mine_implication_rules(
     bucket, never against all observations (the pure band-predicate form
     would be a BroadcastNestedLoopJoin evaluating |obs| predicates per
     event row); everything after is |types|² aggregation."""
-    from math import comb
-
     ts = F.col(ts_col).cast("double")
     w = Window.partitionBy(type_col).orderBy(ts, *[F.col(c) for c in order_cols])
     obs = (
@@ -183,12 +197,11 @@ def mine_implication_rules(
     )
 
     # exact binomial critical value (reference get_min_eval_true :124-149)
-    s, thr = 0.0, max_observations
-    for i in range(max_observations + 1):
-        s += comb(max_observations, i) * ((1 - p0) ** i) * (p0 ** (max_observations - i))
-        if s > 1 - alpha:
-            thr = max_observations - i
-            break
+    # — same failure-tail walk as the gof ladder's bt_min_successes, with
+    # the tail mass 1-alpha (one shared implementation, no drift)
+    from logdata_anomaly_miner_spark.operators.var_gof import bt_min_successes
+
+    thr = bt_min_successes(max_observations, p0, 1 - alpha)
     return pairs.withColumn(
         "status",
         F.when(F.col("n_obs") < max_observations, F.lit("undecided"))

@@ -140,11 +140,22 @@ def score_entropy_expr(
     df: DataFrame, value_col: str, freq: DataFrame
 ) -> DataFrame:
     """Declarative scoring: explode pairs, broadcast-join freq + totals,
-    avg(prob) per original row. Adds column ``critical_val``."""
+    avg(prob) per original row. Adds column ``critical_val`` (null for a
+    null value — matching score_entropy_pandas' NaN, which never alarms).
+
+    The self-join key ``_rid`` is assigned on an eagerly materialized tag
+    frame: monotonically_increasing_id is evaluation-order-dependent and
+    the tag plan is referenced on both sides of the join — without the
+    localCheckpoint a nondeterministic exchange (or task retry) could
+    assign different ids per side and attach scores to the wrong rows.
+    (localCheckpoint blocks are freed by the ContextCleaner when the
+    caller drops the result — no persist leak across calls.)"""
     totals = freq.groupBy("first").agg(F.sum("cnt").alias("total"))
     enriched = F.broadcast(freq.join(totals, "first"))
-    tagged = df.withColumn("_rid", F.monotonically_increasing_id())
-    pairs = tagged.select(
+    tagged = df.withColumn("_rid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
+    )
+    pairs = tagged.filter(F.col(value_col).isNotNull()).select(
         "_rid", F.posexplode(_bigram_pairs(F.col(value_col))).alias("_i", "p")
     ).select("_rid", "_i", F.col("p.first").alias("first"), F.col("p.second").alias("second"))
     scored = (
@@ -153,7 +164,7 @@ def score_entropy_expr(
         .groupBy("_rid")
         .agg(F.avg("prob").alias("critical_val"))
     )
-    return tagged.join(scored, "_rid").drop("_rid")
+    return tagged.join(scored, "_rid", "left").drop("_rid")
 
 
 def freq_matrix(freq: DataFrame) -> np.ndarray:

@@ -37,7 +37,10 @@ def count_matrix(
     Pivot on the (small) event-type vocabulary."""
     ts = F.col(ts_col).cast("double")
     t0_df = df.agg(F.min(ts).alias("_t0"))
-    types = sorted(r[0] for r in df.select(type_col).distinct().collect())
+    types = sorted(
+        r[0]
+        for r in df.select(type_col).filter(F.col(type_col).isNotNull()).distinct().collect()
+    )
     binned = df.crossJoin(F.broadcast(t0_df)).withColumn(
         "w", F.floor((ts - F.col("_t0")) / F.lit(window_size))
     )

@@ -54,7 +54,10 @@ def check_time_intervals(
     """Distinct (value, bucket) combos never seen in the baseline.
     ``allow_neighbors`` also accepts ±1 bucket (the reference's
     allowed_time_diff smoothing)."""
-    n_buckets = int(period // bucket_size)
+    # bucket indices run 0..floor((period-ε)/bucket_size) = ceil(p/b)-1,
+    # so the wrap modulus is ceil — int(p//b) is one short when bucket_size
+    # does not divide period, mis-wrapping the midnight neighbors
+    n_buckets = -int(-period // bucket_size)
     base = baseline.select(*value_cols, "tod_bucket")
     if allow_neighbors:
         base = base.select(

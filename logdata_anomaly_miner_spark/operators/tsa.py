@@ -121,9 +121,13 @@ def ar_forecast_bands(
     matrix, in-sample one-step predictions, |resid| > z·σ flags. One
     (ordered) pandas batch per key — series length is bounded by the
     window-count domain, keys distribute across executors."""
+    # derive key/w types from the INPUT schema — hardcoding 'string'/'long'
+    # breaks Arrow conversion (or silently coerces) for numeric keys
+    in_types = {f.name: f.dataType.simpleString() for f in counts.schema.fields}
     schema = (
-        ", ".join(f"{c} string" for c in key_cols)
-        + f", {w_col} long, {cnt_col} double, pred double, sigma double, anomaly boolean"
+        ", ".join(f"{c} {in_types[c]}" for c in key_cols)
+        + f", {w_col} {in_types[w_col]}, {cnt_col} double, "
+        + "pred double, sigma double, anomaly boolean"
     )
 
     def fit(key, pdf):

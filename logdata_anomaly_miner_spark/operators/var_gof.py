@@ -212,19 +212,30 @@ def fit_continuous(
         )
     else:
         crit = F.lit(0.4614)  # asymptotic one-sample CvM crit at alpha=0.05
+    # degenerate (constant) groups: vmax == vmin makes every candidate CDF
+    # 0/0 -> all stats null -> _best null, and accepted = (null < crit)
+    # would be neither true nor false, silently dropping the group from
+    # BOTH filter(accepted) and filter(~accepted). A constant sample is
+    # the reference's STATIC variable type — classify it as such,
+    # trivially accepted, rather than emitting nulls.
+    degenerate = F.col("vmax") == F.col("vmin")
     return (
         fitted.withColumn("_best", best)
         .select(
             *group_cols,
-            F.col("_best.dist").alias("dist"),
-            F.col("_best.stat").alias("stat"),
+            F.when(degenerate, F.lit("static"))
+            .otherwise(F.col("_best.dist"))
+            .alias("dist"),
+            F.when(degenerate, F.lit(0.0)).otherwise(F.col("_best.stat")).alias("stat"),
             "n",
             "mu",
             "sigma",
             "vmin",
             "vmax",
+            degenerate.alias("_deg"),
         )
-        .withColumn("accepted", F.col("stat") < crit)
+        .withColumn("accepted", F.when(F.col("_deg"), F.lit(True)).otherwise(F.col("stat") < crit))
+        .drop("_deg")
     )
 
 
