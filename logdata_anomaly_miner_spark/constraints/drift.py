@@ -74,8 +74,11 @@ def psi_kl(
         F.sum("c_cnt").alias("c_tot"), F.sum("b_cnt").alias("b_tot")
     )
     j = joined.join(tot, g) if g else joined.crossJoin(tot)
-    p = F.col("c_cnt") / F.col("c_tot") + F.lit(EPS)
-    q = F.col("b_cnt") / F.col("b_tot") + F.lit(EPS)
+    # nullif: a group present in only ONE histogram has the other total 0,
+    # and ANSI mode errors even on double/0 — an all-new kind must read as
+    # share 0 (EPS-smoothed, maximal drift), not abort the suite
+    p = F.coalesce(F.col("c_cnt") / F.nullif(F.col("c_tot"), F.lit(0)), F.lit(0.0)) + F.lit(EPS)
+    q = F.coalesce(F.col("b_cnt") / F.nullif(F.col("b_tot"), F.lit(0)), F.lit(0.0)) + F.lit(EPS)
     return (
         j.withColumn("_psi", (p - q) * F.log(p / q))
         .withColumn("_kl", p * F.log(p / q))

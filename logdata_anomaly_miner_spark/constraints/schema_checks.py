@@ -21,11 +21,11 @@ def unknown_kinds(spans_flat: DataFrame, kind_vocab: Sequence[str]) -> DataFrame
 
 
 def required_non_null(spans_flat: DataFrame, cols: Sequence[str]) -> DataFrame:
-    """Spans with any required field null."""
-    cond = None
+    """Spans with any required field null (no required fields -> no
+    violations, not filter(None))."""
+    cond = F.lit(False)
     for c in cols:
-        this = F.col(c).isNull()
-        cond = this if cond is None else (cond | this)
+        cond = cond | F.col(c).isNull()
     return spans_flat.filter(cond)
 
 

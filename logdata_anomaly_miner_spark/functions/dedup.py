@@ -134,10 +134,24 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature (seed // rows_per_band), bucket on the band hash,
     self-join within buckets → candidate pairs (id_a < id_b)."""
+    # the band signature concatenates minhashes in SEED order (standard
+    # banding): sorting by hash VALUE would make the bucket permutation-
+    # invariant, pairing documents whose bands merely share a multiset of
+    # minhashes across different seeds
     banded = (
         signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
-        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("bucket"))
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("bucket")
+        )
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -431,12 +445,21 @@ def connected_components(
         )
 
     prev = _sig(edges)
+    converged = False
     for _ in range(max_iter):
         edges = small_star(large_star(edges)).localCheckpoint(eager=True)
         cur = _sig(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # an unconverged edge set is NOT a star forest — the extraction
+        # below would silently split true clusters; fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds needed grow with log(component size))"
+        )
 
     # converged edge set is a collection of stars (node -> component root)
     star = edges.select(

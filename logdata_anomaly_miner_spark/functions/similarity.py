@@ -35,10 +35,17 @@ def _norm2(a: Column) -> Column:
     )
 
 
+def _cosine(a: Column, b: Column) -> Column:
+    """Cosine with a zero-norm guard: nullif keeps ANSI mode (double/0
+    errors in Spark 4) from aborting the job on an all-zero embedding
+    (padding / failed extraction); the null cosine then fails every
+    >= threshold filter and sorts last in top-k."""
+    return _dot(a, b) / F.nullif(F.sqrt(_norm2(a) * _norm2(b)), F.lit(0.0))
+
+
 def with_cosine(df: DataFrame, vec_col: str, query: Sequence[float]) -> DataFrame:
     q = F.array(*[F.lit(float(x)) for x in query])
-    sim = _dot(F.col(vec_col), q) / F.sqrt(_norm2(F.col(vec_col)) * _norm2(q))
-    return df.withColumn("cosine", F.round(sim, 9))
+    return df.withColumn("cosine", F.round(_cosine(F.col(vec_col), q), 9))
 
 
 def cosine_topk(
@@ -290,7 +297,7 @@ def exact_near_dup_pairs(
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = b.join(F.broadcast(a.join(F.broadcast(cand), "id_a")), "id_b")
-    sim = _dot(F.col("va"), F.col("vb")) / F.sqrt(_norm2(F.col("va")) * _norm2(F.col("vb")))
+    sim = _cosine(F.col("va"), F.col("vb"))
     return (
         pairs.withColumn("cosine", F.round(sim, 9))
         .filter(F.col("cosine") >= threshold)
@@ -311,13 +318,18 @@ def embedding_near_dup_pairs(
     Exact within a bucket; pairs split across buckets are missed (standard
     LSH recall tradeoff, mitigated by fewer planes / multiple tables)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        row = df.select(vec_col).first()
+        if row is None:  # empty input -> empty pairs, not TypeError
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = len(row[0])
     planes = make_planes(dim, n_planes, seed)
     sig = df.withColumn("_sig", hyperplane_signature(F.col(vec_col), planes))
     a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "_sig")
     b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_sig")
     pairs = a.join(b, "_sig").filter(F.col("id_a") < F.col("id_b"))
-    sim = _dot(F.col("va"), F.col("vb")) / F.sqrt(_norm2(F.col("va")) * _norm2(F.col("vb")))
+    sim = _cosine(F.col("va"), F.col("vb"))
     return (
         pairs.withColumn("cosine", F.round(sim, 9))
         .filter(F.col("cosine") >= threshold)

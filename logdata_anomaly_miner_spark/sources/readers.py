@@ -33,10 +33,18 @@ def read_text_lines(
     sequential atom order (for TimestampsUnsortedDetector etc.)."""
     reader = spark.readStream if streaming else spark.read
     df = reader.text(path)
+    # monotonically_increasing_id is unsupported on streaming frames; a
+    # stream's "ingest order" is its event/processing time anyway, so the
+    # streaming reader stamps the processing-time order surrogate instead
+    order = (
+        F.unix_micros(F.current_timestamp())
+        if streaming
+        else F.monotonically_increasing_id()
+    )
     df = df.select(
         F.col("value").alias("raw"),
         (F.lit(source_tag) if source_tag else F.input_file_name()).alias("source"),
-        F.monotonically_increasing_id().alias("ingest_order"),
+        order.alias("ingest_order"),
     )
     overlong = (
         (F.length("raw") > max_line_length) if max_line_length else F.lit(False)

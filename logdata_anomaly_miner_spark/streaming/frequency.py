@@ -25,11 +25,11 @@ from pyspark.sql import functions as F
 
 def union_sources(sources: Sequence[DataFrame]) -> DataFrame:
     """K-way merge of sources; event-time ordering is reconstructed by the
-    engine's watermarking, not by a driver-side merge loop."""
-    out = sources[0]
-    for s in sources[1:]:
-        out = out.unionByName(s, allowMissingColumns=True)
-    return out
+    engine's watermarking, not by a driver-side merge loop. (Same union as
+    the batch multisource_union — one implementation, re-exported here.)"""
+    from logdata_anomaly_miner_spark.sources.readers import multisource_union
+
+    return multisource_union(list(sources))
 
 
 def streaming_window_counts(
@@ -88,7 +88,9 @@ def streaming_band_check(
             return
         counts = batch_df.select(
             *key_cols,
-            (
+            # floor, not cast: cast truncates toward zero, merging the
+            # window just BEFORE t0 with the one just after it
+            F.floor(
                 (F.col("win_start").cast("double") - F.lit(float(t0_epoch)))
                 / F.lit(float(window_size_s))
             )

@@ -31,8 +31,12 @@ def _new_value_fn(
     (target,) = key
     seen = set(state.get[0]) if state.exists else set()
     out_vals, out_ts = [], []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+    # concat ALL Arrow chunks before sorting: a key whose micro-batch
+    # exceeds arrow.maxRecordsPerBatch arrives as several pdfs, and
+    # per-chunk sorting would process a later-chunk row with an earlier
+    # ts after rows that followed it
+    all_pdfs = [p for p in pdfs]
+    for pdf in [pd.concat(all_pdfs).sort_values("ts")] if all_pdfs else []:
         for v, t in zip(pdf["value"], pdf["ts"]):
             if v is not None and v not in seen:
                 seen.add(v)
@@ -104,8 +108,10 @@ def _value_range_fn(
     (ident,) = key
     mn, mx = state.get if state.exists else (None, None)
     out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+    # concat-then-sort across ALL Arrow chunks (see _new_value_fn): the
+    # sequential check-then-learn order must hold across chunk boundaries
+    all_pdfs = [p for p in pdfs]
+    for pdf in [pd.concat(all_pdfs).sort_values("ts")] if all_pdfs else []:
         for t, v in zip(pdf["ts"], pdf["value"]):
             # Arrow delivers SQL NULL doubles as NaN, not None: a bare
             # `v is None` never fires and a single NaN would poison the
