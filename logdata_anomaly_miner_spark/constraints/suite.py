@@ -99,8 +99,19 @@ def run_suite(
     cfg = config or SuiteConfig()
     t_start = time.time()
 
+    # UTC day bucket by pure arithmetic — from_unixtime would use the
+    # SESSION time zone, making checkpoint partition keys differ between
+    # clusters configured differently; null/uncastable ts gets a sentinel
+    # partition so its violations still join the per-partition verdicts
     docs = documents.withColumn(
-        "partition", F.from_unixtime(F.col("ts").cast("long"), "yyyy-MM-dd")
+        "partition",
+        F.coalesce(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                F.floor(F.col("ts").cast("double") / 86400.0).cast("int"),
+            ).cast("string"),
+            F.lit("__no_ts__"),
+        ),
     )
     if persist:
         docs = docs.persist()
@@ -250,6 +261,7 @@ def run_suite(
         .withColumn("pass", F.col("n_violations") == 0)
     )
     vrows = verdicts.collect()
+    violations.unpersist()  # verdicts re-materialize from the collected rows
     verdicts = spark.createDataFrame(vrows, verdicts.schema) if vrows else verdicts
     parts = {}
     n_viol = 0

@@ -52,6 +52,11 @@ def _grp(name: str | None, inner: str) -> str:
     if name is None:
         return f"(?:{inner})"
     safe = re.sub(r"[^A-Za-z0-9]", "", name)
+    # Java named groups must be non-empty and start with a Latin letter —
+    # a digit-leading or symbol-only name would make the whole compiled
+    # regex throw PatternSyntaxException at execution time
+    if not safe or not safe[0].isalpha():
+        safe = "g" + safe
     return f"(?<{safe}>{inner})"
 
 
@@ -69,8 +74,15 @@ def any_bytes(name: str) -> Element:
 
 
 def delimited(name: str, delim: str, consume_delimiter: bool = True) -> Element:
+    """Value up to (optionally including) ``delim``. Single-char delimiters
+    compile to a negated class; multi-char delimiters need the tempered
+    dot ((?:(?!delim).)*) — a negated CLASS of the delimiter's characters
+    would wrongly forbid each character individually."""
     d = re.escape(delim)
-    pat = _grp(name, f"[^{d}]*") + (d if consume_delimiter else "")
+    # [\s\S] not (?s).: an inline DOTALL flag would leak into the rest of
+    # the composed model regex
+    inner = f"[^{d}]*" if len(delim) == 1 else f"(?:(?!{d})[\\s\\S])*"
+    pat = _grp(name, inner) + (d if consume_delimiter else "")
     return Element(pat, name)
 
 
@@ -319,11 +331,21 @@ def parse_value_branches(
     parsed element decides which sub-model parses the remainder. Columnar
     form: filter rows per branch value, parse each subset with its branch
     model, union the results (columns a branch does not produce are null —
-    exactly the reference's per-branch match dictionaries)."""
+    exactly the reference's per-branch match dictionaries). Rows whose
+    discriminator is null or matches NO branch are kept as unparsed atoms
+    (_parse_ok=false) — the reference keeps the atom and fails the match;
+    dropping them would corrupt every downstream row count."""
+    vals = list(branches)
+    matched = F.col(discriminator_col).isin(vals)
     outs = [
         parse(df.filter(F.col(discriminator_col) == val), raw_col, model)
         for val, model in branches.items()
     ]
+    outs.append(
+        df.filter(~F.coalesce(matched, F.lit(False))).withColumn(
+            "_parse_ok", F.lit(False)
+        )
+    )
     combined = outs[0]
     for o in outs[1:]:
         combined = combined.unionByName(o, allowMissingColumns=True)
@@ -568,6 +590,14 @@ def parse_json_string_models(
     — get_json_object cannot distinguish absent from null there.
 
     Adds each model's named group columns plus ``_parse_ok``."""
+    if strict and any("[" in k for k in key_models):
+        # json_leaf_paths records an array itself as the leaf ('menuitem'),
+        # never an indexed element ('menuitem[0].value') — the strict
+        # set-equality could then never hold; fail loudly, not all-false
+        raise ValueError(
+            "strict mode cannot be combined with array-indexed keys: "
+            + ", ".join(k for k in key_models if "[" in k)
+        )
     leaves_col = "_jsm_leaves"
     out = df.withColumn(leaves_col, json_leaf_paths(F.col(field_col)))
     ok_cols: list[str] = []

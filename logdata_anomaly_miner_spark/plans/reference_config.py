@@ -209,7 +209,15 @@ def _build_element(
         # reference default value_sign_type 'none'
         return P.decimal_integer(name, allow_sign=entry.get("value_sign_type", "none") != "none")
     if t == "DecimalFloatValueModelElement":
-        return P.decimal_float(name)
+        # full reference mode surface (sign/pad/exponent, defaults 'none')
+        # — the permissive decimal_float() would accept signs/exponents
+        # the reference rejects, silently flipping parsed/unparsed
+        return P.decimal_float_modes(
+            name,
+            sign_type=entry.get("value_sign_type", "none"),
+            pad_type=entry.get("value_pad_type", "none"),
+            exponent_type=entry.get("exponent_type", "none"),
+        )
     if t == "IpAddressDataModelElement":
         return P.ip_address_v6(name) if entry.get("ipv6", False) else P.ip_address(name)
     if t == "DateTimeModelElement":
@@ -834,7 +842,12 @@ def _detector_builder(
         if bid not in bd_reg:
             raise ReferenceConfigError(f"unknown bin definition {bid!r}")
         gate = path_col(entry["path"])
-        h = hist_for(None, bd_reg[bid])
+        # linear bins histogram the PATH's value; modulo-time bins
+        # histogram the atom time (col=None -> ts_col inside hist_for)
+        val_col = (
+            gate if bd_reg[bid]["type"] == "LinearNumericBinDefinition" else None
+        )
+        h = hist_for(val_col, bd_reg[bid])
         return lambda df: h(df.filter(F.col(gate).isNotNull()) if gate in df.columns else df)
 
     raise ReferenceConfigError(f"unsupported detector type {t!r}")

@@ -25,12 +25,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def to_json_events(violations: DataFrame, analysis_id: str = "None") -> DataFrame:
+def to_json_events(
+    violations: DataFrame, analysis_id: str = "None", detector_col: str = "detector"
+) -> DataFrame:
     """Violation rows -> JSON envelope column `event_json` mirroring the
-    reference's {"AnalysisComponent": {...}} structure."""
+    reference's {"AnalysisComponent": {...}} structure. Pass
+    ``detector_col='suite'`` for the constraint-suite violations table."""
     envelope = F.struct(
         F.struct(
-            F.col("detector").alias("AnalysisComponentType"),
+            F.col(detector_col).alias("AnalysisComponentType"),
             F.lit(analysis_id).alias("AnalysisComponentName"),
             F.col("message").alias("Message"),
             F.array(F.col("value")).alias("AffectedLogAtomValues"),
@@ -85,10 +88,14 @@ def emit_events_stream(json_df: DataFrame, send, topic: str = "aminer"):
 
 
 def score_events(
-    violations: DataFrame, weights: dict[str, float], default: float = 0.5
+    violations: DataFrame,
+    weights: dict[str, float],
+    default: float = 0.5,
+    detector_col: str = "detector",
 ) -> DataFrame:
-    """ScoringEventHandler analog: attach a confidence score per detector."""
+    """ScoringEventHandler analog: attach a confidence score per detector
+    (``detector_col='suite'`` for the constraint-suite violations table)."""
     expr: Column = F.lit(default)
     for detector, w in weights.items():
-        expr = F.when(F.col("detector") == detector, F.lit(w)).otherwise(expr)
+        expr = F.when(F.col(detector_col) == detector, F.lit(w)).otherwise(expr)
     return violations.withColumn("confidence", expr)
