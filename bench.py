@@ -68,7 +68,9 @@ def main() -> None:
         docs_path = os.environ.get(
             "SPARK_GRAFT_DOCS_PATH", f"/dev/shm/bench_docs_{SUITE_DOCS}.parquet"
         )
-        if not os.path.isdir(docs_path):
+        # _SUCCESS guards against benchmarking a PARTIAL table left by a
+        # crashed generation run (isdir alone would silently accept it)
+        if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
             gen_documents(
                 spark, n_docs=SUITE_DOCS, dup_rate=0.001, dangling_rate=0.02,
                 n_partitions=128,
@@ -99,7 +101,12 @@ def main() -> None:
         "cpus": CPUS,
         "suite_docs": SUITE_DOCS,
         "suite_docs_per_sec": (
-            round(SUITE_DOCS / suite_wall, 1) if suite_wall else None
+            # divide by the rows the suite ACTUALLY scanned (equals
+            # SUITE_DOCS on healthy runs) so a short table can never
+            # inflate the headline metric
+            round((res.metrics.get("rows_scanned") or SUITE_DOCS) / suite_wall, 1)
+            if suite_wall
+            else None
         ),
         "suite_metrics": res.metrics if res else None,
     }

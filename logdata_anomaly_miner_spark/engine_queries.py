@@ -19,10 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logdata_anomaly_miner_spark.constraints.column_stats import column_stats
-from logdata_anomaly_miner_spark.constraints.drift import histogram, psi_kl
+from logdata_anomaly_miner_spark.constraints.drift import psi_kl
 from logdata_anomaly_miner_spark.constraints.referential import dangling_refs
 from logdata_anomaly_miner_spark.constraints.uniqueness import duplicate_keys_salted
-from logdata_anomaly_miner_spark.functions.dedup import exact_dup_groups, normalize_text
+from logdata_anomaly_miner_spark.functions.dedup import exact_dup_groups
 from logdata_anomaly_miner_spark.functions.similarity import cosine_topk
 from logdata_anomaly_miner_spark.functions.text import (
     bpe_ish_token_count,
@@ -49,13 +49,6 @@ from logdata_anomaly_miner_spark.operators.value_range import (
     check_value_range,
     learn_ranges,
 )
-
-EPOCH_SQL = "epoch_us(ts)/1000000.0"  # DuckDB; Spark mirror below
-
-
-def _epoch(col: str = "ts") -> F.Column:
-    return F.unix_micros(F.col(col).cast("timestamp")) / F.lit(1_000_000.0)
-
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver runs queries() under ITS session; TIMESTAMP_NTZ -> epoch
@@ -220,10 +213,26 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _halved(_read(spark, sf_dir, "events"))
-    mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
-    lo, hi = float(mm["lo"]), float(mm["hi"])
-    base = histogram(ev.filter("event_id < thr"), "value", lo, hi, 10, ["event_type"])
-    cur = histogram(ev.filter("event_id >= thr"), "value", lo, hi, 10, ["event_type"])
+    # global [lo, hi] ride in-plan via a broadcast scalar crossJoin — a
+    # driver-side collect here would run an extra full scan per invocation
+    # and make the query fn impure (plan construction triggering a job)
+    mm = ev.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+    src = ev.filter(F.col("value").isNotNull()).crossJoin(F.broadcast(mm))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(10.0)
+    bucket = F.least(
+        F.greatest(F.floor((F.col("value") - F.col("_lo")) / width), F.lit(0)),
+        F.lit(9),
+    ).alias("bucket")
+    base = (
+        src.filter("event_id < thr")
+        .groupBy("event_type", bucket)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = (
+        src.filter("event_id >= thr")
+        .groupBy("event_type", bucket)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     out = psi_kl(cur, base, ["event_type"])
     return out.select("event_type", F.round("psi", 6).alias("psi"), F.round("kl", 6).alias("kl"))
 
@@ -390,12 +399,13 @@ def q_min_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _halved(_events(spark, sf_dir))
     learned = (
-        transition_times(ev.filter("event_id < thr"), "event_type", ["user_id"], "es")
+        transition_times(ev.filter("event_id < thr"), "event_type", ["user_id"], "es", ["event_id"])
         .groupBy("from_value", "to_value")
         .agg(F.min("dt").alias("min_dt"))
     )
     viols, _ = check_minimal_transition_time(
-        ev.filter("event_id >= thr"), "event_type", learned, ["user_id"], "es"
+        ev.filter("event_id >= thr"), "event_type", learned, ["user_id"], "es",
+        ["event_id"],
     )
     return viols.select(
         "user_id", "from_value", "to_value", F.round("dt", 6).alias("dt")
@@ -983,6 +993,49 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+def _chi2_pairs_oracle() -> str:
+    """chi2_pairs oracle SQL, generated over the column pairs so the
+    statistic's formula exists exactly ONCE (six hand-copied blocks
+    previously invited drift). Mirrors chi_square's null exclusion: rows
+    where either variable is null are excluded per pair."""
+    cols = ["event_type", "user_bucket", "vbin", "hour"]
+    blocks = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            obs = (
+                f"(SELECT {a} AS a, {b} AS b, count(*) AS cnt FROM src "
+                f"WHERE {a} IS NOT NULL AND {b} IS NOT NULL GROUP BY 1, 2)"
+            )
+            blocks.append(f"""
+  SELECT '{a}' AS col_a, '{b}' AS col_b,
+         sum((cnt - ra * rb * 1.0 / n) ** 2 / (ra * rb * 1.0 / n)) AS chi2,
+         (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof
+  FROM (
+    SELECT ra.a, rb.b, ra.ra, rb.rb, coalesce(o.cnt, 0) AS cnt, n.n
+    FROM (SELECT a, sum(cnt) AS ra FROM {obs} GROUP BY 1) ra
+    CROSS JOIN (SELECT b, sum(cnt) AS rb FROM {obs} GROUP BY 1) rb
+    CROSS JOIN (SELECT sum(cnt) AS n FROM {obs}) n
+    LEFT JOIN {obs} o ON o.a = ra.a AND o.b = rb.b
+  )""")
+    union = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH src AS (SELECT event_type,
+                    CAST(user_id % 5 AS VARCHAR) AS user_bucket,
+                    CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR) AS vbin,
+                    CAST(CAST(floor((epoch_us(ts)/1000000.0 % 86400.0) / 3600.0) AS BIGINT) AS VARCHAR) AS hour
+             FROM events)
+SELECT col_a, col_b, round(chi2, 6) AS chi2, CAST(dof AS BIGINT) AS dof,
+       round((pow(chi2 / CAST(dof AS DOUBLE), 1.0/3.0)
+              - (1.0 - 2.0/(9.0 * CAST(dof AS DOUBLE))))
+             / sqrt(2.0/(9.0 * CAST(dof AS DOUBLE))), 6) AS z,
+       ((pow(chi2 / CAST(dof AS DOUBLE), 1.0/3.0)
+         - (1.0 - 2.0/(9.0 * CAST(dof AS DOUBLE))))
+        / sqrt(2.0/(9.0 * CAST(dof AS DOUBLE))) > 1.6448536269514722) AS dependent
+FROM ({union}
+)
+"""
+
+
 ORACLES: dict[str, str] = {
     "jaccard_pairs_xx": """
 WITH toks AS (SELECT doc_id,
@@ -1181,9 +1234,13 @@ pick AS (SELECT g, n, nd,
        WHEN s_b4 = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'beta4'
        ELSE 'beta5' END AS dist
   FROM sg)
-SELECT g AS event_type, dist, round(stat, 6) AS stat, CAST(n AS BIGINT) AS n,
-       (stat < 1.3581015157406195/sqrt(nd)) AS accepted
-FROM pick
+SELECT g AS event_type,
+       CASE WHEN d.deg THEN 'static' ELSE dist END AS dist,
+       CASE WHEN d.deg THEN 0.0 ELSE round(stat, 6) END AS stat,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN d.deg THEN TRUE
+            ELSE (stat < 1.3581015157406195/sqrt(nd)) END AS accepted
+FROM pick JOIN (SELECT g, (vmax = vmin) AS deg FROM st) d USING (g)
 """,
     "var_sgof": """
 WITH ev AS (SELECT event_id, event_type AS g, value AS v FROM events WHERE value IS NOT NULL),
@@ -1241,7 +1298,7 @@ fit AS (SELECT i.g,
        WHEN s_b4 = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'beta4'
        ELSE 'beta5' END AS dist,
   s.vmin, s.vmax, s.mu, s.sigma
-  FROM isg i JOIN st s ON s.g = i.g),
+  FROM isg i JOIN st s ON s.g = i.g WHERE s.vmax > s.vmin),
 ch AS (SELECT r.g, r.v, CAST(floor((r.ern - 100 - 1)/50.0) AS BIGINT) AS chunk,
               f.dist, f.vmin, f.vmax, f.mu, f.sigma
        FROM rnk r JOIN fit f ON f.g = r.g WHERE r.ern > 100),
@@ -1539,87 +1596,7 @@ SELECT t.event_type, round(max(abs(t.ca * 1.0 / c.na - t.cb * 1.0 / c.nb)), 6) A
 FROM tied t JOIN c ON t.event_type = c.event_type
 GROUP BY t.event_type
 """,
-    "chi2_pairs": """
-WITH src AS (SELECT event_type,
-                    CAST(user_id % 5 AS VARCHAR) AS user_bucket,
-                    CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR) AS vbin,
-                    CAST(CAST(floor((epoch_us(ts)/1000000.0 % 86400.0) / 3600.0) AS BIGINT) AS VARCHAR) AS hour
-             FROM events)
-SELECT col_a, col_b, round(chi2, 6) AS chi2, CAST(dof AS BIGINT) AS dof,
-       round((pow(chi2 / CAST(dof AS DOUBLE), 1.0/3.0)
-              - (1.0 - 2.0/(9.0 * CAST(dof AS DOUBLE))))
-             / sqrt(2.0/(9.0 * CAST(dof AS DOUBLE))), 6) AS z,
-       ((pow(chi2 / CAST(dof AS DOUBLE), 1.0/3.0)
-         - (1.0 - 2.0/(9.0 * CAST(dof AS DOUBLE))))
-        / sqrt(2.0/(9.0 * CAST(dof AS DOUBLE))) > 1.6448536269514722) AS dependent
-FROM (
-  SELECT 'event_type' AS col_a, 'user_bucket' AS col_b,
-         sum((cnt - ra * rb * 1.0 / n) ** 2 / (ra * rb * 1.0 / n)) AS chi2,
-         (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof
-  FROM (
-    SELECT ra.a, rb.b, ra.ra, rb.rb, coalesce(o.cnt, 0) AS cnt, n.n
-    FROM (SELECT a, sum(cnt) AS ra FROM (SELECT event_type AS a, user_bucket AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) ra
-    CROSS JOIN (SELECT b, sum(cnt) AS rb FROM (SELECT event_type AS a, user_bucket AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) rb
-    CROSS JOIN (SELECT sum(cnt) AS n FROM (SELECT event_type AS a, user_bucket AS b, count(*) AS cnt FROM src GROUP BY 1, 2)) n
-    LEFT JOIN (SELECT event_type AS a, user_bucket AS b, count(*) AS cnt FROM src GROUP BY 1, 2) o ON o.a = ra.a AND o.b = rb.b
-  )
-  UNION ALL
-  SELECT 'event_type' AS col_a, 'vbin' AS col_b,
-         sum((cnt - ra * rb * 1.0 / n) ** 2 / (ra * rb * 1.0 / n)) AS chi2,
-         (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof
-  FROM (
-    SELECT ra.a, rb.b, ra.ra, rb.rb, coalesce(o.cnt, 0) AS cnt, n.n
-    FROM (SELECT a, sum(cnt) AS ra FROM (SELECT event_type AS a, vbin AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) ra
-    CROSS JOIN (SELECT b, sum(cnt) AS rb FROM (SELECT event_type AS a, vbin AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) rb
-    CROSS JOIN (SELECT sum(cnt) AS n FROM (SELECT event_type AS a, vbin AS b, count(*) AS cnt FROM src GROUP BY 1, 2)) n
-    LEFT JOIN (SELECT event_type AS a, vbin AS b, count(*) AS cnt FROM src GROUP BY 1, 2) o ON o.a = ra.a AND o.b = rb.b
-  )
-  UNION ALL
-  SELECT 'event_type' AS col_a, 'hour' AS col_b,
-         sum((cnt - ra * rb * 1.0 / n) ** 2 / (ra * rb * 1.0 / n)) AS chi2,
-         (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof
-  FROM (
-    SELECT ra.a, rb.b, ra.ra, rb.rb, coalesce(o.cnt, 0) AS cnt, n.n
-    FROM (SELECT a, sum(cnt) AS ra FROM (SELECT event_type AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) ra
-    CROSS JOIN (SELECT b, sum(cnt) AS rb FROM (SELECT event_type AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) rb
-    CROSS JOIN (SELECT sum(cnt) AS n FROM (SELECT event_type AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2)) n
-    LEFT JOIN (SELECT event_type AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) o ON o.a = ra.a AND o.b = rb.b
-  )
-  UNION ALL
-  SELECT 'user_bucket' AS col_a, 'vbin' AS col_b,
-         sum((cnt - ra * rb * 1.0 / n) ** 2 / (ra * rb * 1.0 / n)) AS chi2,
-         (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof
-  FROM (
-    SELECT ra.a, rb.b, ra.ra, rb.rb, coalesce(o.cnt, 0) AS cnt, n.n
-    FROM (SELECT a, sum(cnt) AS ra FROM (SELECT user_bucket AS a, vbin AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) ra
-    CROSS JOIN (SELECT b, sum(cnt) AS rb FROM (SELECT user_bucket AS a, vbin AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) rb
-    CROSS JOIN (SELECT sum(cnt) AS n FROM (SELECT user_bucket AS a, vbin AS b, count(*) AS cnt FROM src GROUP BY 1, 2)) n
-    LEFT JOIN (SELECT user_bucket AS a, vbin AS b, count(*) AS cnt FROM src GROUP BY 1, 2) o ON o.a = ra.a AND o.b = rb.b
-  )
-  UNION ALL
-  SELECT 'user_bucket' AS col_a, 'hour' AS col_b,
-         sum((cnt - ra * rb * 1.0 / n) ** 2 / (ra * rb * 1.0 / n)) AS chi2,
-         (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof
-  FROM (
-    SELECT ra.a, rb.b, ra.ra, rb.rb, coalesce(o.cnt, 0) AS cnt, n.n
-    FROM (SELECT a, sum(cnt) AS ra FROM (SELECT user_bucket AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) ra
-    CROSS JOIN (SELECT b, sum(cnt) AS rb FROM (SELECT user_bucket AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) rb
-    CROSS JOIN (SELECT sum(cnt) AS n FROM (SELECT user_bucket AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2)) n
-    LEFT JOIN (SELECT user_bucket AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) o ON o.a = ra.a AND o.b = rb.b
-  )
-  UNION ALL
-  SELECT 'vbin' AS col_a, 'hour' AS col_b,
-         sum((cnt - ra * rb * 1.0 / n) ** 2 / (ra * rb * 1.0 / n)) AS chi2,
-         (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof
-  FROM (
-    SELECT ra.a, rb.b, ra.ra, rb.rb, coalesce(o.cnt, 0) AS cnt, n.n
-    FROM (SELECT a, sum(cnt) AS ra FROM (SELECT vbin AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) ra
-    CROSS JOIN (SELECT b, sum(cnt) AS rb FROM (SELECT vbin AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) GROUP BY 1) rb
-    CROSS JOIN (SELECT sum(cnt) AS n FROM (SELECT vbin AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2)) n
-    LEFT JOIN (SELECT vbin AS a, hour AS b, count(*) AS cnt FROM src GROUP BY 1, 2) o ON o.a = ra.a AND o.b = rb.b
-  )
-)
-""",
+    "chi2_pairs": _chi2_pairs_oracle(),
     "variable_types": """
 WITH agg AS (
   SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
@@ -1716,14 +1693,14 @@ tr1 AS (SELECT user_id,
                lag(event_type) OVER w AS from_value, event_type AS to_value,
                epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0) OVER w AS dt
         FROM events, thr WHERE event_id < t
-        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
 learned AS (SELECT from_value, to_value, min(dt) AS min_dt FROM tr1
             WHERE from_value IS NOT NULL GROUP BY 1, 2),
 tr2 AS (SELECT user_id,
                lag(event_type) OVER w AS from_value, event_type AS to_value,
                epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0) OVER w AS dt
         FROM events, thr WHERE event_id >= t
-        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)))
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
 SELECT t.user_id, t.from_value, t.to_value, round(t.dt, 6) AS dt
 FROM tr2 t JOIN learned l ON t.from_value = l.from_value AND t.to_value = l.to_value
 WHERE t.dt < l.min_dt
@@ -1893,19 +1870,25 @@ HAVING max(epoch_us(ts)) < mt - 172800000000
 """,
     "charset_new": """
 WITH thr AS (SELECT max(doc_id)/2.0 AS t FROM documents),
-c AS (SELECT doc_id, lang, unnest(regexp_extract_all(text, '.')) AS ch FROM documents),
+c AS (SELECT doc_id, lang, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents),
 base AS (SELECT DISTINCT lang, ch FROM c, thr WHERE doc_id < t)
 SELECT DISTINCT c.lang, c.ch FROM c, thr
 WHERE c.doc_id >= t AND NOT EXISTS (
   SELECT 1 FROM base b WHERE b.lang = c.lang AND b.ch = c.ch)
 """,
     "entropy_score": """
-WITH pairs AS (
+WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+            FROM documents),
+pairs AS (
+  -- UTF-8 BYTE bigrams (the engine iterates bytes 0-255 like the
+  -- reference, NOT codepoints): byte i = hex chunk [2i+1, 2i+2]
   SELECT d.doc_id,
-         CASE WHEN t.i = 0 THEN 256 ELSE ord(substr(d.text, t.i, 1)) END AS first,
-         CASE WHEN t.i = length(d.text) THEN 256 ELSE ord(substr(d.text, t.i + 1, 1)) END AS second
-  FROM documents d, (SELECT unnest(generate_series(0, (SELECT max(length(text)) FROM documents))) AS i) t
-  WHERE t.i <= length(d.text)),
+         CASE WHEN t.i = 0 THEN 256
+              ELSE ('0x' || substr(d.h, (t.i - 1) * 2 + 1, 2))::INT END AS first,
+         CASE WHEN t.i = d.nb THEN 256
+              ELSE ('0x' || substr(d.h, t.i * 2 + 1, 2))::INT END AS second
+  FROM hx d, (SELECT unnest(generate_series(0, (SELECT max(nb) FROM hx))) AS i) t
+  WHERE t.i <= d.nb),
 freq AS (SELECT first, second, count(*) AS cnt FROM pairs GROUP BY 1, 2),
 tot AS (SELECT first, sum(cnt) AS total FROM freq GROUP BY 1)
 SELECT p.doc_id, round(avg(coalesce(f.cnt * 1.0 / t.total, 0.0)), 6) AS cv

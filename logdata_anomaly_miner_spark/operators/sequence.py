@@ -69,9 +69,15 @@ def transition_times(
     value_col: str,
     id_cols: Sequence[str] = (),
     ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """(id..., from_value, to_value, dt) for consecutive rows per id."""
-    w = Window.partitionBy(*id_cols).orderBy(F.col(ts_col))
+    """(id..., from_value, to_value, dt) for consecutive rows per id.
+    Pass ``order_cols`` (e.g. the ingest id) to break timestamp TIES
+    deterministically — without it, equal-ts rows make lag() order
+    engine- and retry-dependent."""
+    w = Window.partitionBy(*id_cols).orderBy(
+        F.col(ts_col), *[F.col(c) for c in order_cols]
+    )
     return (
         df.withColumn("_prev_v", F.lag(value_col).over(w))
         .withColumn("_prev_t", F.lag(ts_col).over(w))
@@ -91,11 +97,12 @@ def check_minimal_transition_time(
     baseline: DataFrame,
     id_cols: Sequence[str] = (),
     ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Violations: transitions faster than the learned minimum.
     Returns (violations, merged_baseline); baseline columns:
     (from_value, to_value, min_dt)."""
-    trans = transition_times(df, value_col, id_cols, ts_col)
+    trans = transition_times(df, value_col, id_cols, ts_col, order_cols)
     viols = (
         trans.join(F.broadcast(baseline), ["from_value", "to_value"], "inner")
         .filter(F.col("dt") < F.col("min_dt"))

@@ -87,15 +87,21 @@ def candidate_cdfs(
 ) -> list[tuple[str, Column]]:
     """(name, F(v)) per candidate, standardized exactly like the reference
     (VariableTypeDetector.py:984-1046). mn/mx/mu/sigma are per-group
-    aggregate columns over the init sample."""
-    z = (v - mu) / sigma
+    aggregate columns over the init sample.
+
+    nullif guards: for a CONSTANT group sigma = 0 and mx = mn, and ANSI
+    mode (Spark 4 default) raises DIVIDE_BY_ZERO even for doubles — the
+    degenerate group must flow through as nulls (classified 'static'
+    downstream), not abort the job."""
+    z = (v - mu) / F.nullif(sigma, F.lit(0.0))
+    rng = F.nullif(mx - mn, F.lit(0.0))
     return [
-        ("uni", _clip01((v - mn) / (mx - mn))),
+        ("uni", _clip01((v - mn) / rng)),
         ("nor", _norm_cdf(z)),
         # arcsine beta(0.5, 0.5) on the min-max-scaled value
         (
             "beta1",
-            F.lit(2.0 / math.pi) * F.asin(F.sqrt(_clip01((v - mn) / (mx - mn)))),
+            F.lit(2.0 / math.pi) * F.asin(F.sqrt(_clip01((v - mn) / rng))),
         ),
         # beta(5,2): z·√(10/8)/7 + 5/7
         (
@@ -271,7 +277,13 @@ def s_gof_ladder(
     ``num_s_gof_bt`` chunks reaches the binomial critical value.
 
     Returns group_cols + (chunk, stat, failed, n_fails, n_tests, alarm).
+
+    Groups whose fit is 'static' (constant init sample) are EXCLUDED: a
+    static variable has no continuous CDF to slide against — the
+    reference routes such variables to the discrete/static d_test path
+    (fit_discrete / d_test_ladder), not s_gof.
     """
+    fitted = fitted.filter(F.col("dist") != "static")
     v = F.col(value_col).cast("double")
     w_ord = Window.partitionBy(*group_cols).orderBy(*[F.col(c) for c in order_cols])
     chunked = (

@@ -32,7 +32,7 @@ def get_spark(
         # In local mode, match shuffle width to cores; on a cluster this is
         # overridden by spark-submit conf (AQE coalesces the rest).
         try:
-            shuffle_partitions = int(master.split("[")[1].rstrip("]").replace("*", "32"))
+            shuffle_partitions = int(master.split("[")[1].rstrip("]").replace("*", str(cpus)))
         except (IndexError, ValueError):
             shuffle_partitions = 200
     builder = (

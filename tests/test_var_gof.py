@@ -158,3 +158,23 @@ def test_d_ladder_drift_and_new_values(spark):
     assert not by_chunk[1]["alarm"]  # window [0,1] not full... chunk2: [0,1,2] 2 succ < 3
     assert by_chunk[2]["alarm"] and by_chunk[3]["alarm"]
     assert by_chunk[0]["dof"] == 2
+
+
+def test_constant_group_is_static_and_excluded_from_ladder(spark):
+    """A constant init sample is the reference's STATIC type: classified
+    as such (trivially accepted, stat 0) and excluded from the s_gof
+    ladder rather than emitting all-null rows that vanish from both
+    accept and reject filters."""
+    rows = [("const", i, 5.0) for i in range(160)] + [
+        ("vary", i, float((i * 37) % 101) / 101.0) for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    fit = fit_continuous(df, ["g"], "v", ["i"], num_init=100)
+    got = {r["g"]: r for r in fit.collect()}
+    assert got["const"]["dist"] == "static"
+    assert got["const"]["stat"] == 0.0 and got["const"]["accepted"] is True
+    assert got["vary"]["dist"] == "uni" and got["vary"]["accepted"]
+
+    lad = s_gof_ladder(df, ["g"], "v", ["i"], fit, num_init=100, num_s_gof_values=50)
+    groups = {r["g"] for r in lad.collect()}
+    assert groups == {"vary"}  # static group routed to d_test, not s_gof
