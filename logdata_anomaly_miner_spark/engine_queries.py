@@ -218,7 +218,10 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and make the query fn impure (plan construction triggering a job)
     mm = ev.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
     src = ev.filter(F.col("value").isNotNull()).crossJoin(F.broadcast(mm))
-    width = (F.col("_hi") - F.col("_lo")) / F.lit(10.0)
+    # nullif guard: an all-equal value column makes hi == lo, and ANSI mode
+    # (Spark 4 default) raises DIVIDE_BY_ZERO even for doubles — degenerate
+    # input should yield null buckets, not a job abort
+    width = F.nullif(F.col("_hi") - F.col("_lo"), F.lit(0.0)) / F.lit(10.0)
     bucket = F.least(
         F.greatest(F.floor((F.col("value") - F.col("_lo")) / width), F.lit(0)),
         F.lit(9),
@@ -577,14 +580,17 @@ def q_value_range_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _events(spark, sf_dir)
-    slt = ev.agg(((F.max("es") - F.min("es")) / 2.0).alias("slt")).collect()[0]["slt"]
+    # half-span cutoff stays IN-PLAN: stop_learning_time is an aggregate
+    # Column, so plan construction triggers zero Spark jobs (the cutoff
+    # rides a broadcast scalar crossJoin exactly like q_drift_psi's [lo,hi])
+    slt = (F.max(F.col("es").cast("double")) - F.min(F.col("es").cast("double"))) / 2.0
     v, _ = check_value_range_lifecycle(
         ev,
         ["event_type"],
         "value",
         order_cols=("event_id",),
         ts_col="es",
-        stop_learning_time=float(slt),
+        stop_learning_time=slt,
     )
     return v.select("event_id", "phase")
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from logdata_anomaly_miner_spark.operators.timestamps import _with_range_bucket
@@ -52,7 +52,7 @@ def screen_paths(
 def learning_cutoff(
     df: DataFrame,
     ts_col: str = "ts",
-    stop_learning_time: float | None = None,
+    stop_learning_time: float | Column | None = None,
     stop_learning_no_anomaly_time: float | None = None,
     num_buckets: int | None = None,
 ) -> tuple[DataFrame, bool]:
@@ -61,7 +61,11 @@ def learning_cutoff(
     Atoms learn iff ts <= cutoff_ts (inclusive=True, stop_learning_time
     mode) or ts < cutoff_ts (inclusive=False, no-anomaly-gap mode).
     cutoff_ts is null when learning never stops. If both options are set,
-    the no-anomaly extension dominates (base init :279-280 overwrites)."""
+    the no-anomaly extension dominates (base init :279-280 overwrites).
+
+    ``stop_learning_time`` may be an aggregate Column over ``df`` (e.g.
+    half the batch's time span) so data-derived cutoffs stay in-plan — a
+    driver-side collect would add a full scan per plan construction."""
     ts = F.col(ts_col).cast("double")
     if stop_learning_no_anomaly_time is not None:
         delta = float(stop_learning_no_anomaly_time)
@@ -82,17 +86,19 @@ def learning_cutoff(
         )
         return cut, False
     if stop_learning_time is not None:
-        return (
-            df.agg((F.min(ts) + F.lit(float(stop_learning_time))).alias("cutoff_ts")),
-            True,
+        slt = (
+            stop_learning_time
+            if isinstance(stop_learning_time, Column)
+            else F.lit(float(stop_learning_time))
         )
+        return df.agg((F.min(ts) + slt).alias("cutoff_ts")), True
     return df.agg(F.lit(None).cast("double").alias("cutoff_ts")), True
 
 
 def split_learn_check(
     df: DataFrame,
     ts_col: str = "ts",
-    stop_learning_time: float | None = None,
+    stop_learning_time: float | Column | None = None,
     stop_learning_no_anomaly_time: float | None = None,
     num_buckets: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:

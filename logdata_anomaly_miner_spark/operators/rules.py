@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 
 
 def and_(*rules: Column) -> Column:
+    if not rules:
+        raise ValueError("and_ needs at least one rule")
     out = rules[0]
     for r in rules[1:]:
         out = out & r
@@ -36,6 +38,8 @@ def and_(*rules: Column) -> Column:
 
 
 def or_(*rules: Column) -> Column:
+    if not rules:
+        raise ValueError("or_ needs at least one rule")
     out = rules[0]
     for r in rules[1:]:
         out = out | r

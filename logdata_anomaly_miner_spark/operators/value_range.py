@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -137,7 +137,7 @@ def check_value_range_lifecycle(
     order_cols: Sequence[str] = ("ts",),
     ts_col: str = "ts",
     baseline: DataFrame | None = None,
-    stop_learning_time: float | None = None,
+    stop_learning_time: float | Column | None = None,
     stop_learning_no_anomaly_time: float | None = None,
     ignore_cols: Sequence[str] = (),
     constraint_cols: Sequence[str] = (),

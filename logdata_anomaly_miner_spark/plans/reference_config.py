@@ -570,6 +570,8 @@ def _detector_builder(
 
     if t == "MatchFilter":
         vals = entry.get("value_list")
+        if not cols:
+            raise ReferenceConfigError("MatchFilter needs a non-empty paths list")
         conds = [
             R.value_in(c, vals) if vals is not None else R.path_exists(c) for c in cols
         ]

@@ -29,8 +29,15 @@ def read_text_lines(
     streaming: bool = False,
 ) -> DataFrame:
     """Lines + ingest metadata. Columns: (raw, source, ingest_order,
-    overlong). `ingest_order` gives the batch engine the reference's
-    sequential atom order (for TimestampsUnsortedDetector etc.)."""
+    overlong). In batch mode `ingest_order` is a unique sequential atom
+    order (the reference's arrival order, for TimestampsUnsortedDetector
+    etc.). In STREAMING mode it is batch-granular only — every row of a
+    micro-batch carries the same processing-time stamp, because
+    monotonically_increasing_id is unsupported on streaming frames. Order-
+    sensitive consumers (row_number/lag tie-breaks, unsorted-timestamp
+    detection) must either tolerate batch granularity or assign a unique id
+    inside foreachBatch, where the micro-batch is a plain DataFrame and
+    ``F.monotonically_increasing_id()`` is legal again."""
     reader = spark.readStream if streaming else spark.read
     df = reader.text(path)
     # monotonically_increasing_id is unsupported on streaming frames; a

@@ -23,6 +23,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _hadoop_dir_has_files(spark, path: str) -> bool:
+    """True iff `path` exists and holds at least one file, resolved through
+    the Hadoop FileSystem API — so hdfs:// / s3a:// / file:// state dirs all
+    work (a driver-local os.listdir probe returns False forever on remote
+    filesystems, silently discarding learned state)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    if not fs.exists(hpath):
+        return False
+    it = fs.listStatus(hpath)
+    return any(st.isFile() for st in it)
+
+
 def union_sources(sources: Sequence[DataFrame]) -> DataFrame:
     """K-way merge of sources; event-time ordering is reconstructed by the
     engine's watermarking, not by a driver-side merge loop. (Same union as
@@ -174,12 +189,10 @@ def streaming_entropy_check(
         # "First batch" means the freq table does not exist yet — probe the
         # path instead of catching every read error, so a corrupt table
         # (crash mid-overwrite), schema drift, or transient IO failure
-        # surfaces instead of silently discarding all learned state.
-        import os
-
-        have_freq = os.path.isdir(freq_dir) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(freq_dir)
-        )
+        # surfaces instead of silently discarding all learned state. The
+        # probe goes through the Hadoop FileSystem API so hdfs:// / s3a://
+        # state dirs are seen too (os.path only sees the driver's local fs).
+        have_freq = _hadoop_dir_has_files(spark, freq_dir)
         freq = spark.read.parquet(freq_dir) if have_freq else None
         if have_freq:
             scored = score_entropy_pandas(spark, batch_df, value_col, freq)

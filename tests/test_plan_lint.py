@@ -92,9 +92,61 @@ def nonscalar_bnlj(plan: str) -> list[str]:
     return issues
 
 
+# Queries whose CONSTRUCTION legitimately runs Spark jobs, with why.
+# Everything else must build its plan lazily: a collect/count at plan time
+# adds a full scan per invocation and makes the query fn impure.
+CONSTRUCT_JOB_ALLOW = {
+    # KMeans codebook training is iterative (documented: offline at scale)
+    "ann_ivf": "inline KMeans codebook fit + query-vector fetch",
+    # synthesizes + persists its own corpus, then reruns the suites on it
+    "suite_verdicts": "writes synthesized corpus parquet for the oracle",
+    # ANN queries take a user-supplied query vector; the 1-row pushed-down
+    # fetch of vec_id=0 SIMULATES that user input (the public API takes a
+    # Python list, which is the right shape for a search parameter)
+    "ann_topk": "query-vector fetch (1 row, filter pushed down)",
+    "ann_lsh": "query-vector fetch (1 row, filter pushed down)",
+    # 257x257 bigram log-prob matrix collected into the pandas-UDF closure:
+    # bounded by alphabet^2, never by data volume (VERDICT r3 audit)
+    "entropy_score": "bounded 257^2 matrix into scorer closure",
+    # localCheckpoint pins monotonically_increasing_id before a self-join
+    # (two lazy evaluations would disagree); the materialization is reused
+    # by the execution, so it is a cache build, not a wasted scan
+    "time_corr_features": "localCheckpoint pinning mono-id (reused)",
+    "jaccard_pairs": "localCheckpoint pinning mono-id (reused)",
+    "jaccard_pairs_xx": "localCheckpoint pinning mono-id (reused)",
+}
+
+
 @pytest.mark.parametrize("name", list(QUERIES))
 def test_registered_plan_is_scale_shaped(spark, name):
-    plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    sc = spark.sparkContext
+    group = f"planlint-{name}"
+    sc.setJobGroup(group, "plan-construction purity probe")
+    try:
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        sc.setJobGroup(None, None)
+    if name not in CONSTRUCT_JOB_ALLOW:
+        # Parquet footer/schema-inference jobs (stage callsite "parquet at
+        # ...") are driver metadata reads, not data scans — every
+        # spark.read.parquet fires one. Anything else (collect/count/
+        # toPandas callsites) is a real scan at plan time and fails.
+        tracker = sc.statusTracker()
+        scans = []
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            names = [
+                getattr(tracker.getStageInfo(s), "name", "") or ""
+                for s in (info.stageIds if info else [])
+            ]
+            if not all(n.startswith(("parquet at", "json at")) for n in names):
+                scans.append((jid, names))
+        assert not scans, (
+            f"{name}: plan construction ran data-scan job(s) {scans} — "
+            "query fns must be pure plan builders (ride scalars in-plan "
+            "via broadcast crossJoin, see q_drift_psi)"
+        )
     assert "CartesianProduct" not in plan, f"{name}: CartesianProduct in plan"
     pw = partitionless_windows(plan)
     assert not pw, f"{name}: partition-less window over {pw}"
