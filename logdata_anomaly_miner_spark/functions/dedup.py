@@ -274,33 +274,33 @@ def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash per doc: for each token, xxhash64(token) contributes
-    ±1 per bit position; simhash bit = sign of the sum. Explode + groupBy —
-    fully vectorized, one shuffle."""
+    ±1 per bit position; simhash bit = sign of the sum.
+
+    All 64 bit-sums are computed as ONE wide aggregation over the token
+    rows (64 conditional-sum columns, map-side combined) — the
+    ``minhash_signatures_xx`` pattern. The earlier form exploded
+    |tokens|×64 rows before the groupBy, inflating the shuffle 64×; here
+    the shuffle carries |docs| rows of 64 longs. The packed value is
+    reconstructed bit-by-bit afterwards (bit 63 lands as two's-complement
+    min-long, matching shiftleft(1L, 63))."""
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
-    bits = toks.select(
-        "_id",
-        F.explode(F.array(*[F.lit(i) for i in range(64)])).alias("bit"),
-        F.col("h"),
-    ).withColumn(
-        # Python-API shiftright needs a literal count; SQL accepts columns
-        "contrib",
-        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"),
+    sums = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"_s{i}")
+            for i in range(64)
+        ]
     )
-    agg = bits.groupBy("_id", "bit").agg(F.sum("contrib").alias("s"))
-    return (
-        agg.withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
-        .groupBy("_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
-        .withColumnRenamed("_id", id_col)
-    )
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        packed = packed + F.when(
+            F.col(f"_s{i}") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), {i})")
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col("_id").alias(id_col), packed.alias("simhash"))
 
 
 def portable_simhash_bits(
@@ -314,27 +314,28 @@ def portable_simhash_bits(
         F.col(id_col).alias("_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))
-    bits = toks.select(
-        "_id",
-        "h",
-        F.explode(F.array(*[F.lit(i) for i in range(n_bits)])).alias("bit"),
+    # wide aggregation, not a bit-explode: one conditional sum per bit over
+    # the token rows (map-side combined), then stack() restores the
+    # per-(id, bit) oracle shape AFTER aggregation — |docs|·n_bits rows
+    # post-shuffle instead of |tokens|·n_bits rows pre-shuffle
+    def bitval(i: int):
+        nibble = F.conv(F.substring(F.col("h"), i // 4 + 1, 1), 16, 10).cast("int")
+        return F.shiftright(nibble, i % 4).bitwiseAND(F.lit(1))
+
+    sums = toks.groupBy("_id").agg(
+        *[
+            F.sum(F.when(bitval(i) == 1, 1).otherwise(-1)).alias(f"_s{i}")
+            for i in range(n_bits)
+        ]
     )
-    nibble = F.conv(
-        F.substring(F.col("h"), (F.col("bit") / 4 + 1).cast("int"), 1), 16, 10
-    ).cast("int")
-    bitval = F.floor(nibble / F.pow(F.lit(2.0), F.pmod(F.col("bit"), F.lit(4)))).cast(
-        "long"
-    ) % 2
-    contrib = F.when(bitval == 1, 1).otherwise(-1)
-    return (
-        bits.withColumn("c", contrib)
-        .groupBy("_id", "bit")
-        .agg(F.sum("c").alias("s"))
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("bit").cast("int").alias("bit"),
-            F.when(F.col("s") > 0, 1).otherwise(0).cast("int").alias("b"),
-        )
+    stack_args = ", ".join(f"{i}, _s{i}" for i in range(n_bits))
+    return sums.selectExpr(
+        f"_id as {id_col}",
+        f"stack({n_bits}, {stack_args}) as (bit, s)",
+    ).select(
+        id_col,
+        F.col("bit").cast("int").alias("bit"),
+        F.when(F.col("s") > 0, 1).otherwise(0).cast("int").alias("b"),
     )
 
 
