@@ -470,8 +470,12 @@ def q_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path) — rows-only check: recall vs the exact
-    oracle is < 1 by construction, so no SQL oracle is registered."""
+    """LSH-bucketed ANN (scale path). Oracle-certified end-to-end: the
+    hyperplanes come from a deterministic LCG that DuckDB replicates
+    exactly in HUGEINT arithmetic, so the oracle reproduces the SAME
+    signatures, probe set, and cosine re-rank (not the exact-scan answer —
+    recall vs that is < 1 by construction and is certified separately by
+    the banding-vs-ground-truth jaccard queries)."""
     from logdata_anomaly_miner_spark.functions.similarity import lsh_bucket_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -2009,6 +2013,53 @@ s AS (SELECT vec_id,
                    / sqrt(list_dot_product(le, le) * list_dot_product(qe, qe)), 9) AS cosine
       FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS le
             FROM embeddings) e CROSS JOIN q),
+r AS (SELECT vec_id, cosine, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM s)
+SELECT vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""",
+    # Full LSH replication: the hyperplanes come from a deterministic LCG
+    # (similarity.make_planes) whose 64-bit modular arithmetic DuckDB can
+    # run exactly in HUGEINT, and DuckDB's double division matches
+    # Python's bit-for-bit — so the SAME planes, signatures, probe
+    # set, and cosine re-rank fall out and the banded candidate set is
+    # certified end-to-end (not just the re-rank).
+    "ann_lsh": """
+WITH RECURSIVE lcg(i, state) AS (
+  SELECT 0, CAST(42 AS HUGEINT)
+  UNION ALL
+  SELECT i+1, (state * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+              % 9223372036854775808::HUGEINT
+  FROM lcg WHERE i < 512
+),
+pl AS (
+  SELECT CAST((i-1) // 64 AS INT) AS p, CAST((i-1) % 64 AS INT) AS c,
+         (CAST(state AS DOUBLE) / 9223372036854775808.0) * 2.0 - 1.0 AS v
+  FROM lcg WHERE i > 0
+),
+planes AS (SELECT p, list(v ORDER BY c) AS pvec FROM pl GROUP BY p),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS le
+      FROM embeddings),
+sigs AS (
+  SELECT e.vec_id,
+         SUM(CASE WHEN list_dot_product(e.le, planes.pvec) >= 0
+                  THEN (1 << p) ELSE 0 END) AS sig
+  FROM e CROSS JOIN planes GROUP BY e.vec_id
+),
+qsig AS (SELECT sig AS qs FROM sigs WHERE vec_id = 0),
+probes AS (
+  SELECT qs AS pr FROM qsig
+  UNION ALL
+  SELECT xor(qs, (1 << g.g)) FROM qsig, generate_series(0, 7) g(g)
+),
+q AS (SELECT le AS qe FROM e WHERE vec_id = 0),
+cands AS (
+  SELECT e.vec_id, e.le FROM e JOIN sigs USING (vec_id)
+  WHERE sigs.sig IN (SELECT pr FROM probes)
+),
+s AS (SELECT vec_id,
+             round(list_dot_product(le, qe)
+                   / sqrt(list_dot_product(le, le) * list_dot_product(qe, qe)), 9) AS cosine
+      FROM cands CROSS JOIN q),
 r AS (SELECT vec_id, cosine, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM s)
 SELECT vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 10
