@@ -50,6 +50,15 @@ from logdata_anomaly_miner_spark.operators.value_range import (
     learn_ranges,
 )
 
+# q_suite_verdicts persists its synthesized corpus here (gitignored) so the
+# DuckDB oracle can validate the verdict counts over the SAME parquet bytes.
+import os as _os
+
+SUITE_CORPUS_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".suite_corpus"
+)
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver runs queries() under ITS session; TIMESTAMP_NTZ -> epoch
     # conversion goes through the session time zone, so pin UTC for
@@ -456,13 +465,21 @@ def q_near_dup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full validation suite over a deterministic synthesized documents
-    table (rows-only check: the generator is engine-internal, no SQL
-    oracle). Returns per-(partition, suite) verdicts."""
+    table. The corpus is PERSISTED to parquet inside the query and read
+    back, so the suite consumes exactly the bytes the DuckDB oracle reads —
+    which replicates the uniqueness / referential / new-value verdict
+    counts relationally (entropy contributes zero rows at prob_thresh=0.0
+    and drift has no baseline in this config, so the verdict table is fully
+    relational). Returns per-(partition, suite) verdicts."""
     from logdata_anomaly_miner_spark.constraints.suite import SuiteConfig, run_suite
     from logdata_anomaly_miner_spark.datagen import gen_documents, gen_media
 
     docs = gen_documents(spark, n_docs=5000, dup_rate=0.01, dangling_rate=0.05)
     media = gen_media(spark, 1000)
+    docs.write.mode("overwrite").parquet(f"{SUITE_CORPUS_DIR}/documents.parquet")
+    media.write.mode("overwrite").parquet(f"{SUITE_CORPUS_DIR}/media.parquet")
+    docs = spark.read.parquet(f"{SUITE_CORPUS_DIR}/documents.parquet")
+    media = spark.read.parquet(f"{SUITE_CORPUS_DIR}/media.parquet")
     res = run_suite(spark, docs, media, SuiteConfig(entropy_prob_thresh=0.0))
     return res.verdicts.select(
         "partition", "suite", F.col("n_violations").cast("long").alias("n_violations"), "pass"
@@ -2063,5 +2080,56 @@ s AS (SELECT vec_id,
 r AS (SELECT vec_id, cosine, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM s)
 SELECT vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 10
+""",
+    # Relational replica of the suite's verdict counts over the corpus
+    # parquet that q_suite_verdicts persists (the query runs first, so the
+    # files exist). Contributing suites in this config: uniqueness (one
+    # violation per row of a duplicated doc_id), referential (one per span
+    # row with a dangling media_ref), new_value (one per distinct
+    # (kind, text), attributed to the partition of its first occurrence —
+    # partition is a function of ts, so min(ts) decides it deterministically
+    # even under (ts, doc_id) ties). Entropy yields no rows at
+    # prob_thresh=0.0 and drift has no baseline, matching the Spark side.
+    "suite_verdicts": f"""
+WITH docs AS (
+  SELECT doc_id, ts, spans,
+         CAST(DATE '1970-01-01' + CAST(floor(ts / 86400.0) AS INT) AS VARCHAR) AS part
+  FROM '{SUITE_CORPUS_DIR}/documents.parquet/*.parquet'
+),
+media AS (SELECT media_id FROM '{SUITE_CORPUS_DIR}/media.parquet/*.parquet'),
+flat AS (
+  SELECT doc_id, ts, part, s.kind AS kind, s.text AS text, s.media_ref AS media_ref
+  FROM (SELECT doc_id, ts, part, unnest(spans) AS s FROM docs)
+),
+dup AS (SELECT doc_id FROM docs GROUP BY doc_id HAVING count(*) > 1),
+v_uniq AS (
+  SELECT part, count(*) AS n FROM docs JOIN dup USING (doc_id) GROUP BY part
+),
+dang AS (
+  SELECT DISTINCT media_ref FROM flat
+  WHERE media_ref IS NOT NULL AND media_ref NOT IN (SELECT media_id FROM media)
+),
+v_ref AS (
+  SELECT part, count(*) AS n FROM flat JOIN dang USING (media_ref) GROUP BY part
+),
+firsts AS (
+  SELECT kind, text, min(ts) AS mts FROM flat WHERE text IS NOT NULL
+  GROUP BY kind, text
+),
+v_new AS (
+  SELECT CAST(DATE '1970-01-01' + CAST(floor(mts / 86400.0) AS INT) AS VARCHAR) AS part,
+         count(*) AS n
+  FROM firsts GROUP BY 1
+),
+allv AS (
+  SELECT part, 'uniqueness' AS suite, n FROM v_uniq
+  UNION ALL SELECT part, 'referential', n FROM v_ref
+  UNION ALL SELECT part, 'new_value', n FROM v_new
+),
+parts AS (SELECT DISTINCT part FROM docs)
+SELECT p.part AS partition, a.suite AS suite,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_violations,
+       coalesce(a.n, 0) = 0 AS pass
+FROM parts p LEFT JOIN allv a USING (part)
 """,
 }
