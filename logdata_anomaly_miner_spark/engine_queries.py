@@ -774,25 +774,50 @@ def q_hypothesis_rules_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_tsa_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TSAArimaDetector analog (reference :32-560 simplified to AR(1) —
-    statsmodels-free): least-squares autoregression per event type over the
-    anchored window counts, |residual| > z*sigma flags."""
-    from logdata_anomaly_miner_spark.operators.tsa import ar1_forecast_bands
+def q_tsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSAArimaDetector analog (reference :32-560), four fitted models as a
+    tagged union over ONE anchored window-count table (fold of the former
+    tsa_ar1 + tsa_d1 rows plus the round-4 MA/seasonal additions):
+
+    - ar1  — AR(1) least squares (regr_slope) on the levels;
+    - d1   — AR(1) on first differences, level forecast reconstituted
+             (ARIMA d=1);
+    - ma1  — ARMA(1,1) via the Hannan–Rissanen two-stage closed form;
+    - sar  — seasonal AR: y_t on [y_{t-1}, y_{t-144}] (144 windows of 600 s
+             = the daily season, the reference's season parameter).
+
+    Each variant flags |residual| > z*sigma; only predicted rows emit."""
+    from logdata_anomaly_miner_spark.operators.tsa import (
+        ar1_forecast_bands,
+        hr_arma_forecast_bands,
+    )
 
     ev = _events(spark, sf_dir)
     counts = anchored_window_counts(ev, ["event_type"], 600.0, ts_col="es")
-    out = ar1_forecast_bands(counts, ["event_type"], z=1.96, min_train=10)
-    # each key's first window has no lag -> no prediction; emit only
-    # predicted rows (also keeps the compare free of null/float mixes)
-    return out.filter(F.col("pred").isNotNull()).select(
-        "event_type",
-        "w",
-        F.col("cnt").cast("long").alias("cnt"),
-        F.round("pred", 6).alias("pred"),
-        F.round("sigma", 6).alias("sigma"),
-        "anomaly",
-    )
+    variants = [
+        ("ar1", ar1_forecast_bands(counts, ["event_type"], z=1.96, min_train=10)),
+        ("d1", ar1_forecast_bands(counts, ["event_type"], z=1.96, min_train=10, diff=1)),
+        ("ma1", hr_arma_forecast_bands(counts, ["event_type"], mode="ma", min_train=10)),
+        ("sar", hr_arma_forecast_bands(
+            counts, ["event_type"], mode="seasonal", seasonal_lag=144, min_train=10
+        )),
+    ]
+    parts = [
+        out.filter(F.col("pred").isNotNull()).select(
+            F.lit(tag).alias("model"),
+            "event_type",
+            "w",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round("pred", 6).alias("pred"),
+            F.round("sigma", 6).alias("sigma"),
+            "anomaly",
+        )
+        for tag, out in variants
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
 
 
 def q_hypothesis_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,23 +955,6 @@ def q_time_corr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_tsa_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TSAArima d=1 analog: AR(1) on the first-differenced window counts,
-    level forecast reconstituted as cnt_{t-1} + predicted increment
-    (reference TSAArimaDetector.py:32-560 with ARIMA differencing)."""
-    from logdata_anomaly_miner_spark.operators.tsa import ar1_forecast_bands
-
-    ev = _events(spark, sf_dir)
-    counts = anchored_window_counts(ev, ["event_type"], 600.0, ts_col="es")
-    out = ar1_forecast_bands(counts, ["event_type"], z=1.96, min_train=10, diff=1)
-    return out.filter(F.col("pred").isNotNull()).select(
-        "event_type",
-        "w",
-        F.col("cnt").cast("long").alias("cnt"),
-        F.round("pred", 6).alias("pred"),
-        F.round("sigma", 6).alias("sigma"),
-        "anomaly",
-    )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -968,7 +976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new/changed this round --
     "var_gof_discrete": q_var_gof_discrete,
     "time_corr_features": q_time_corr_features,
-    "tsa_d1": q_tsa_d1,
+    "tsa": q_tsa,
     "hypothesis_rules": q_hypothesis_rules,
     "hypothesis_rules_back": q_hypothesis_rules_back,
     "ann_ivf": q_ann_ivf,
@@ -988,7 +996,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "new_combos_enhanced": q_new_combos_enhanced,
     "new_id_combos": q_new_id_combos,
     "implication": q_implication,
-    "tsa_ar1": q_tsa_ar1,
     "var_gof": q_var_gof,
     "var_sgof": q_var_sgof,
     "early_exceeding": q_early_exceeding,
@@ -1173,7 +1180,7 @@ FROM (SELECT x.t AS a, y.t AS b FROM types x, types y WHERE x.t <> y.t) p
 JOIN nob n ON n.a = p.a
 LEFT JOIN conf cf ON cf.a = p.a AND cf.b = p.b
 """,
-    "tsa_ar1": """
+    "tsa": """
 WITH t0 AS (SELECT min(epoch_us(ts)/1000000.0) AS t0 FROM events),
 c AS (SELECT event_type, CAST(floor((epoch_us(ts)/1000000.0 - t0)/600.0) AS BIGINT) AS w,
              count(*) AS cnt
@@ -1186,22 +1193,95 @@ spine AS (SELECT k.event_type, gs.w FROM k
 sp AS (SELECT s.event_type, s.w, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
        FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.w = s.w),
 d AS (SELECT event_type, w, cnt, CAST(cnt AS DOUBLE) AS y,
-             lag(CAST(cnt AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY w) AS x
-      FROM sp),
-fit AS (SELECT event_type,
-               coalesce(regr_slope(y, x), 0.0) AS s,
-               coalesce(regr_intercept(y, x), regr_avgy(y, x)) AS ic,
-               CAST(count(x) AS BIGINT) AS n_train
+             lag(CAST(cnt AS DOUBLE)) OVER pw AS x1,
+             lag(CAST(cnt AS DOUBLE), 144) OVER pw AS xs
+      FROM sp WINDOW pw AS (PARTITION BY event_type ORDER BY w)),
+fit_ar1 AS (SELECT event_type,
+               coalesce(regr_slope(y, x1), 0.0) AS s,
+               coalesce(regr_intercept(y, x1), regr_avgy(y, x1)) AS ic,
+               CAST(count(x1) AS BIGINT) AS n_train
         FROM d GROUP BY 1),
-sc AS (SELECT d.*, f.s, f.ic, f.n_train, f.ic + f.s * d.x AS pred
-       FROM d JOIN fit f USING (event_type)),
-sg AS (SELECT event_type, stddev_pop(y - pred) AS sigma
-       FROM sc WHERE x IS NOT NULL GROUP BY 1)
-SELECT sc.event_type, sc.w, sc.cnt, round(sc.pred, 6) AS pred,
-       round(sg.sigma, 6) AS sigma,
-       (sc.n_train >= 10 AND abs(sc.y - sc.pred) > 1.96 * sg.sigma) AS anomaly
-FROM sc JOIN sg USING (event_type)
-WHERE sc.pred IS NOT NULL
+sc_ar1 AS (SELECT d.*, f.n_train, f.ic + f.s * d.x1 AS pred
+       FROM d JOIN fit_ar1 f USING (event_type)),
+sg_ar1 AS (SELECT event_type, stddev_pop(y - pred) AS sigma
+       FROM sc_ar1 WHERE x1 IS NOT NULL GROUP BY 1),
+out_ar1 AS (
+  SELECT 'ar1' AS model, sc.event_type, sc.w, sc.cnt, round(sc.pred, 6) AS pred,
+         round(sg.sigma, 6) AS sigma,
+         (sc.n_train >= 10 AND abs(sc.y - sc.pred) > 1.96 * sg.sigma) AS anomaly
+  FROM sc_ar1 sc JOIN sg_ar1 sg USING (event_type) WHERE sc.pred IS NOT NULL),
+dd AS (SELECT event_type, w, cnt, y AS lvl, x1 AS base, y - x1 AS dy,
+              lag(y - x1) OVER (PARTITION BY event_type ORDER BY w) AS dx
+       FROM d),
+fit_d1 AS (SELECT event_type,
+               coalesce(regr_slope(dy, dx), 0.0) AS s,
+               coalesce(regr_intercept(dy, dx), regr_avgy(dy, dx)) AS ic,
+               CAST(count(dx) AS BIGINT) AS n_train
+        FROM dd GROUP BY 1),
+sc_d1 AS (SELECT dd.*, f.n_train, dd.base + f.ic + f.s * dd.dx AS pred
+       FROM dd JOIN fit_d1 f USING (event_type)),
+sg_d1 AS (SELECT event_type, stddev_pop(lvl - pred) AS sigma
+       FROM sc_d1 WHERE dx IS NOT NULL GROUP BY 1),
+out_d1 AS (
+  SELECT 'd1' AS model, sc.event_type, sc.w, sc.cnt, round(sc.pred, 6) AS pred,
+         round(sg.sigma, 6) AS sigma,
+         (sc.n_train >= 10 AND abs(sc.lvl - sc.pred) > 1.96 * sg.sigma) AS anomaly
+  FROM sc_d1 sc JOIN sg_d1 sg USING (event_type) WHERE sc.pred IS NOT NULL),
+e2 AS (SELECT *, lag(e) OVER (PARTITION BY event_type ORDER BY w) AS x2
+       FROM (SELECT d.event_type, d.w, d.cnt, d.y, d.x1,
+                    CASE WHEN d.x1 IS NOT NULL
+                         THEN d.y - (f.ic + f.s * d.x1) END AS e
+             FROM d JOIN fit_ar1 f USING (event_type))),
+fit_ma AS (SELECT event_type,
+   covar_pop(x1, x1) AS c11, covar_pop(x2, x2) AS c22, covar_pop(x1, x2) AS c12,
+   covar_pop(x1, y) AS c1y, covar_pop(x2, y) AS c2y,
+   avg(x1) AS mx1, avg(x2) AS mx2, avg(y) AS my,
+   CAST(count(*) AS BIGINT) AS n_train
+   FROM e2 WHERE x1 IS NOT NULL AND x2 IS NOT NULL GROUP BY 1),
+coef_ma AS (SELECT event_type, n_train,
+   coalesce((c22*c1y - c12*c2y)/nullif(c11*c22 - c12*c12, 0.0), 0.0) AS b1,
+   coalesce((c11*c2y - c12*c1y)/nullif(c11*c22 - c12*c12, 0.0), 0.0) AS b2,
+   my, mx1, mx2 FROM fit_ma),
+coef_ma2 AS (SELECT event_type, n_train, b1, b2,
+   my - b1*mx1 - b2*mx2 AS b0 FROM coef_ma),
+sc_ma AS (SELECT e2.*, f.n_train,
+   CASE WHEN e2.x1 IS NOT NULL AND e2.x2 IS NOT NULL
+        THEN f.b0 + f.b1*e2.x1 + f.b2*e2.x2 END AS pred
+   FROM e2 JOIN coef_ma2 f USING (event_type)),
+sg_ma AS (SELECT event_type, stddev_pop(y - pred) AS sigma
+   FROM sc_ma WHERE pred IS NOT NULL GROUP BY 1),
+out_ma AS (
+  SELECT 'ma1' AS model, sc.event_type, sc.w, sc.cnt, round(sc.pred, 6) AS pred,
+         round(sg.sigma, 6) AS sigma,
+         (sc.n_train >= 10 AND abs(sc.y - sc.pred) > 1.96 * sg.sigma) AS anomaly
+  FROM sc_ma sc JOIN sg_ma sg USING (event_type) WHERE sc.pred IS NOT NULL),
+fit_sar AS (SELECT event_type,
+   covar_pop(x1, x1) AS c11, covar_pop(xs, xs) AS c22, covar_pop(x1, xs) AS c12,
+   covar_pop(x1, y) AS c1y, covar_pop(xs, y) AS c2y,
+   avg(x1) AS mx1, avg(xs) AS mx2, avg(y) AS my,
+   CAST(count(*) AS BIGINT) AS n_train
+   FROM d WHERE x1 IS NOT NULL AND xs IS NOT NULL GROUP BY 1),
+coef_sar AS (SELECT event_type, n_train,
+   coalesce((c22*c1y - c12*c2y)/nullif(c11*c22 - c12*c12, 0.0), 0.0) AS b1,
+   coalesce((c11*c2y - c12*c1y)/nullif(c11*c22 - c12*c12, 0.0), 0.0) AS b2,
+   my, mx1, mx2 FROM fit_sar),
+coef_sar2 AS (SELECT event_type, n_train, b1, b2,
+   my - b1*mx1 - b2*mx2 AS b0 FROM coef_sar),
+sc_sar AS (SELECT d.*, f.n_train,
+   CASE WHEN d.x1 IS NOT NULL AND d.xs IS NOT NULL
+        THEN f.b0 + f.b1*d.x1 + f.b2*d.xs END AS pred
+   FROM d JOIN coef_sar2 f USING (event_type)),
+sg_sar AS (SELECT event_type, stddev_pop(y - pred) AS sigma
+   FROM sc_sar WHERE pred IS NOT NULL GROUP BY 1),
+out_sar AS (
+  SELECT 'sar' AS model, sc.event_type, sc.w, sc.cnt, round(sc.pred, 6) AS pred,
+         round(sg.sigma, 6) AS sigma,
+         (sc.n_train >= 10 AND abs(sc.y - sc.pred) > 1.96 * sg.sigma) AS anomaly
+  FROM sc_sar sc JOIN sg_sar sg USING (event_type) WHERE sc.pred IS NOT NULL)
+SELECT * FROM out_ar1
+UNION ALL SELECT * FROM out_d1
+UNION ALL SELECT * FROM out_ma
+UNION ALL SELECT * FROM out_sar
 """,
     "var_gof": """
 WITH ev AS (SELECT event_id, event_type AS g, value AS v FROM events WHERE value IS NOT NULL),
@@ -1382,38 +1462,6 @@ FROM lad
     # min_success = bt_min_successes(10, 0.95, 0.05) = 10 (the failure-tail
     # walk exceeds alpha at i=0 since 0.95^10 ≈ 0.599 > 0.05), so a full
     # window alarms on any failure — same arithmetic as the Spark side.
-    "tsa_d1": """
-WITH t0 AS (SELECT min(epoch_us(ts)/1000000.0) AS t0 FROM events),
-c AS (SELECT event_type, CAST(floor((epoch_us(ts)/1000000.0 - t0)/600.0) AS BIGINT) AS w,
-             count(*) AS cnt
-      FROM events CROSS JOIN t0 GROUP BY 1, 2),
-k AS (SELECT event_type, min(w) AS w0 FROM c GROUP BY 1),
-g AS (SELECT max(w) AS wm FROM c),
-spine AS (SELECT k.event_type, gs.w FROM k
-          CROSS JOIN (SELECT unnest(generate_series(0, (SELECT wm FROM g))) AS w) gs
-          WHERE gs.w >= k.w0),
-sp AS (SELECT s.event_type, s.w, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
-       FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.w = s.w),
-d AS (SELECT event_type, w, cnt, CAST(cnt AS DOUBLE) AS lvl,
-             lag(CAST(cnt AS DOUBLE)) OVER pw AS base,
-             CAST(cnt AS DOUBLE) - lag(CAST(cnt AS DOUBLE)) OVER pw AS y
-      FROM sp WINDOW pw AS (PARTITION BY event_type ORDER BY w)),
-dd AS (SELECT *, lag(y) OVER (PARTITION BY event_type ORDER BY w) AS x FROM d),
-fit AS (SELECT event_type,
-               coalesce(regr_slope(y, x), 0.0) AS s,
-               coalesce(regr_intercept(y, x), regr_avgy(y, x)) AS ic,
-               CAST(count(x) AS BIGINT) AS n_train
-        FROM dd GROUP BY 1),
-sc AS (SELECT dd.*, f.s, f.ic, f.n_train, dd.base + f.ic + f.s * dd.x AS pred
-       FROM dd JOIN fit f USING (event_type)),
-sg AS (SELECT event_type, stddev_pop(lvl - pred) AS sigma
-       FROM sc WHERE x IS NOT NULL GROUP BY 1)
-SELECT sc.event_type, sc.w, sc.cnt, round(sc.pred, 6) AS pred,
-       round(sg.sigma, 6) AS sigma,
-       (sc.n_train >= 10 AND abs(sc.lvl - sc.pred) > 1.96 * sg.sigma) AS anomaly
-FROM sc JOIN sg USING (event_type)
-WHERE sc.pred IS NOT NULL
-""",
     "var_gof_discrete": """
 WITH ev AS (SELECT event_id, event_type AS g, CAST(user_id AS VARCHAR) AS v
             FROM events WHERE user_id IS NOT NULL),

@@ -108,6 +108,112 @@ def ar1_forecast_bands(
     )
 
 
+def hr_arma_forecast_bands(
+    counts: DataFrame,
+    key_cols: Sequence[str],
+    mode: str = "ma",
+    seasonal_lag: int = 144,
+    z: float = 1.96,
+    min_train: int = 10,
+    cnt_col: str = "cnt",
+    w_col: str = "w",
+) -> DataFrame:
+    """MA(1) / seasonal terms via the Hannan–Rissanen two-stage closed form
+    (reference TSAArimaDetector fits full statsmodels ARIMA with a season
+    parameter, TSAArimaDetector.py:32-560, season handling ~:200-300; this
+    is the statsmodels-free batch analog).
+
+    - ``mode='ma'`` — ARMA(1,1): stage 1 fits AR(1) (regr_slope) and takes
+      its residuals ε̂; stage 2 regresses y_t on [y_{t-1}, ε̂_{t-1}] — the
+      classic HR innovation-substitution, closed-form.
+    - ``mode='seasonal'`` — seasonal AR: y_t on [y_{t-1}, y_{t-S}] with
+      S = ``seasonal_lag`` windows (the reference's season parameter maps
+      to S = season / window_size).
+
+    Both are the same two-regressor least squares solved from per-key
+    covariances (5 covar_pop + 3 avg in ONE aggregation, map-side
+    combined) — 100% declarative, no UDF, DuckDB-oracle-checkable.
+    Degenerate keys (singular normal matrix: constant series or collinear
+    regressors) fall back to the flat forecast b1=b2=0, b0=mean(y) via a
+    nullif guard (ANSI-safe)."""
+    if mode not in ("ma", "seasonal"):
+        raise ValueError("mode must be 'ma' or 'seasonal'")
+    w_ord = Window.partitionBy(*key_cols).orderBy(w_col)
+    d = counts.withColumn("_y", F.col(cnt_col).cast("double")).withColumn(
+        "_x1", F.lag("_y").over(w_ord)
+    )
+    if mode == "ma":
+        fit1 = (
+            d.filter(F.col("_x1").isNotNull())
+            .groupBy(*key_cols)
+            .agg(
+                F.regr_slope("_y", "_x1").alias("_s1"),
+                F.regr_intercept("_y", "_x1").alias("_i1"),
+                F.regr_avgy("_y", "_x1").alias("_m1"),
+            )
+            .withColumn("_s1", F.coalesce("_s1", F.lit(0.0)))
+            .withColumn("_i1", F.coalesce("_i1", F.col("_m1")))
+        )
+        d = d.join(F.broadcast(fit1), list(key_cols))
+        d = d.withColumn(
+            "_e",
+            F.when(
+                F.col("_x1").isNotNull(),
+                F.col("_y") - (F.col("_i1") + F.col("_s1") * F.col("_x1")),
+            ),
+        ).withColumn("_x2", F.lag("_e").over(w_ord))
+    else:
+        d = d.withColumn("_x2", F.lag("_y", seasonal_lag).over(w_ord))
+    both = F.col("_x1").isNotNull() & F.col("_x2").isNotNull()
+    fit = (
+        d.filter(both)
+        .groupBy(*key_cols)
+        .agg(
+            F.covar_pop("_x1", "_x1").alias("_c11"),
+            F.covar_pop("_x2", "_x2").alias("_c22"),
+            F.covar_pop("_x1", "_x2").alias("_c12"),
+            F.covar_pop("_x1", "_y").alias("_c1y"),
+            F.covar_pop("_x2", "_y").alias("_c2y"),
+            F.avg("_x1").alias("_mx1"),
+            F.avg("_x2").alias("_mx2"),
+            F.avg("_y").alias("_my"),
+            F.count(F.lit(1)).alias("n_train"),
+        )
+    )
+    den = F.nullif(
+        F.col("_c11") * F.col("_c22") - F.col("_c12") * F.col("_c12"), F.lit(0.0)
+    )
+    b1 = (F.col("_c22") * F.col("_c1y") - F.col("_c12") * F.col("_c2y")) / den
+    b2 = (F.col("_c11") * F.col("_c2y") - F.col("_c12") * F.col("_c1y")) / den
+    fit = (
+        fit.withColumn("_b1", F.coalesce(b1, F.lit(0.0)))
+        .withColumn("_b2", F.coalesce(b2, F.lit(0.0)))
+        .withColumn(
+            "_b0",
+            F.col("_my") - F.col("_b1") * F.col("_mx1") - F.col("_b2") * F.col("_mx2"),
+        )
+    )
+    scored = d.join(F.broadcast(fit), list(key_cols)).withColumn(
+        "pred",
+        F.when(
+            both,
+            F.col("_b0") + F.col("_b1") * F.col("_x1") + F.col("_b2") * F.col("_x2"),
+        ),
+    )
+    sig = (
+        scored.filter(F.col("pred").isNotNull())
+        .groupBy(*key_cols)
+        .agg(F.stddev_pop(F.col("_y") - F.col("pred")).alias("sigma"))
+    )
+    out = scored.join(F.broadcast(sig), list(key_cols)).withColumn(
+        "anomaly",
+        F.col("pred").isNotNull()
+        & (F.col("n_train") >= min_train)
+        & (F.abs(F.col("_y") - F.col("pred")) > F.lit(float(z)) * F.col("sigma")),
+    )
+    return out.select(*key_cols, w_col, cnt_col, "pred", "sigma", "n_train", "anomaly")
+
+
 def ar_forecast_bands(
     counts: DataFrame,
     key_cols: Sequence[str],

@@ -9,6 +9,7 @@ import pytest
 from logdata_anomaly_miner_spark.operators.tsa import (
     ar1_forecast_bands,
     ar_forecast_bands,
+    hr_arma_forecast_bands,
 )
 
 
@@ -66,6 +67,67 @@ def test_ar_p_flags_burst(spark):
     assert out[len(vals) - 1]["anomaly"] is True
     normal = [w for w, r in out.items() if r["anomaly"] and w != len(vals) - 1]
     assert len(normal) <= 2
+
+
+def test_hr_ma_matches_numpy_two_stage(spark):
+    """ARMA(1,1) Hannan–Rissanen: coefficients and predictions must equal
+    the same two-stage procedure done with numpy (stage-1 AR(1) OLS,
+    stage-2 OLS of y_t on [y_{t-1}, resid_{t-1}])."""
+    rng = np.random.RandomState(11)
+    eps = rng.uniform(-1, 1, 60)
+    vals = [10.0]
+    for t in range(1, 60):
+        vals.append(5 + 0.5 * vals[-1] + eps[t] + 0.4 * eps[t - 1])
+    y = np.array(vals)
+    # stage 1: AR(1)
+    x = y[:-1]
+    yy = y[1:]
+    s1 = np.cov(x, yy, bias=True)[0, 1] / np.var(x)
+    i1 = yy.mean() - s1 * x.mean()
+    e = np.full(len(y), np.nan)
+    e[1:] = yy - (i1 + s1 * x)
+    # stage 2: y_t on [y_{t-1}, e_{t-1}] for t >= 2
+    x1 = y[1:-1]
+    x2 = e[1:-1]
+    tgt = y[2:]
+    A = np.column_stack([np.ones_like(x1), x1, x2])
+    b0, b1, b2 = np.linalg.lstsq(A, tgt, rcond=None)[0]
+    pred = b0 + b1 * x1 + b2 * x2
+    sigma = float(np.sqrt(np.mean((tgt - pred) ** 2)))
+    out = {r["w"]: r for r in hr_arma_forecast_bands(
+        _series(spark, vals), ["k"], mode="ma"
+    ).collect()}
+    for t in range(2, len(vals)):
+        assert out[t]["pred"] == pytest.approx(pred[t - 2], rel=1e-7)
+        assert out[t]["sigma"] == pytest.approx(sigma, rel=1e-7)
+    assert out[0]["pred"] is None and out[1]["pred"] is None
+
+
+def test_hr_seasonal_fits_cycle(spark):
+    """Seasonal AR with S=4 on a period-4 cycle: the seasonal regressor
+    makes the fit near-exact, and a broken cycle point alarms."""
+    cycle = [10.0, 30.0, 20.0, 5.0]
+    vals = cycle * 12
+    vals[30] = 60.0  # break the cycle
+    out = {r["w"]: r for r in hr_arma_forecast_bands(
+        _series(spark, vals), ["k"], mode="seasonal", seasonal_lag=4
+    ).collect()}
+    assert out[30]["anomaly"]
+    clean = {r["w"]: r for r in hr_arma_forecast_bands(
+        _series(spark, cycle * 12), ["k"], mode="seasonal", seasonal_lag=4
+    ).collect()}
+    for w, r in clean.items():
+        if r["pred"] is not None:
+            assert r["pred"] == pytest.approx(cycle[w % 4], abs=1e-6)
+    assert not any(r["anomaly"] for r in clean.values())
+
+
+def test_hr_constant_series_flat(spark):
+    """Singular normal matrix (constant series) -> flat forecast at the
+    mean, no anomalies, no ANSI division error."""
+    out = hr_arma_forecast_bands(_series(spark, [7.0] * 30), ["k"], mode="ma").collect()
+    assert all(not r["anomaly"] for r in out)
+    assert all(r["pred"] == 7.0 for r in out if r["pred"] is not None)
 
 
 def test_ar1_diff_handles_trend(spark):
