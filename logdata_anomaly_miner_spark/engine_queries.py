@@ -554,6 +554,42 @@ def q_chi2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_var_corr_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariableCorrelationDetector validation phase (reference :575-1300):
+    pairs discovered dependent on the init sample are re-tested per
+    50-row chunk with a chi² homogeneity test; failures ladder into the
+    trailing-30 binomial test; alarmed pairs are dropped (running flag)."""
+    from logdata_anomaly_miner_spark.operators.correlation import (
+        validate_correlation_pairs,
+    )
+
+    # user_low (id % 10) deterministically fixes user_bucket (id % 5), so
+    # discovery finds that one REAL correlation among the independent
+    # pairs and the validation phase then keeps re-confirming it per chunk
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("user_bucket", (F.col("user_id") % 5).cast("string"))
+        .withColumn("user_low", (F.col("user_id") % 10).cast("string"))
+        .withColumn("vbin", F.floor(F.col("value") / 50).cast("string"))
+    )
+    out = validate_correlation_pairs(
+        ev, ["event_type", "user_bucket", "user_low", "vbin"], order_cols=("event_id",)
+    )
+    return out.select(
+        "pair",
+        F.col("chunk").cast("long").alias("chunk"),
+        F.round("chi2", 6).alias("chi2"),
+        "dof",
+        F.round("z", 6).alias("z"),
+        "n_new",
+        "failed",
+        "n_fails",
+        "n_tests",
+        "alarm",
+        "dropped",
+    )
+
+
 def q_variable_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logdata_anomaly_miner_spark.operators.variable_type import infer_variable_types
 
@@ -977,6 +1013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "var_gof_discrete": q_var_gof_discrete,
     "time_corr_features": q_time_corr_features,
     "tsa": q_tsa,
+    "var_corr_validate": q_var_corr_validate,
     "hypothesis_rules": q_hypothesis_rules,
     "hypothesis_rules_back": q_hypothesis_rules_back,
     "ann_ivf": q_ann_ivf,
@@ -1025,6 +1062,94 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_cluster": q_count_cluster,
     "min_transition": q_min_transition,
 }
+
+
+def _var_corr_validate_oracle() -> str:
+    """var_corr_validate oracle: melt the pairs, row-number per pair,
+    discovery chi² on the first 100 rows, per-50-row-chunk homogeneity
+    chi² vs the init joint distribution, trailing-30 binomial ladder,
+    running dropped flag — the SQL mirror of validate_correlation_pairs."""
+    from logdata_anomaly_miner_spark.operators.var_gof import bt_min_successes
+
+    cols = ["event_type", "user_bucket", "user_low", "vbin"]
+    melts = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            melts.append(
+                f"SELECT event_id, '{a}~{b}' AS pair, {a} AS va, {b} AS vb "
+                f"FROM src WHERE {a} IS NOT NULL AND {b} IS NOT NULL"
+            )
+    melted = "\n  UNION ALL\n  ".join(melts)
+
+    def wh_z(chi: str, dof: str) -> str:
+        kd = f"nullif(CAST({dof} AS DOUBLE), 0.0)"
+        return (
+            f"(pow({chi} / {kd}, 1.0/3.0) - (1.0 - 2.0/(9.0 * {kd})))"
+            f" / sqrt(2.0/(9.0 * {kd}))"
+        )
+
+    min_success = bt_min_successes(30, 0.95, 0.05)
+    return f"""
+WITH src AS (SELECT event_id, event_type,
+                    CAST(user_id % 5 AS VARCHAR) AS user_bucket,
+                    CAST(user_id % 10 AS VARCHAR) AS user_low,
+                    CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR) AS vbin
+             FROM events),
+melted AS (
+  {melted}
+),
+pos AS (SELECT *, row_number() OVER (PARTITION BY pair ORDER BY event_id) AS ern FROM melted),
+init AS (SELECT * FROM pos WHERE ern <= 100),
+obs AS (SELECT pair, va, vb, count(*) AS cnt FROM init GROUP BY 1, 2, 3),
+ra AS (SELECT pair, va, sum(cnt) AS ra FROM obs GROUP BY 1, 2),
+rb AS (SELECT pair, vb, sum(cnt) AS rb FROM obs GROUP BY 1, 2),
+nn AS (SELECT pair, sum(cnt) AS n FROM obs GROUP BY 1),
+cells AS (SELECT ra.pair, ra.va, rb.vb, ra.ra, rb.rb, nn.n, coalesce(o.cnt, 0) AS cnt
+          FROM ra JOIN rb USING (pair) JOIN nn USING (pair)
+          LEFT JOIN obs o ON o.pair = ra.pair AND o.va = ra.va AND o.vb = rb.vb),
+disc AS (SELECT pair,
+                sum((cnt - ra*rb*1.0/n)**2 / (ra*rb*1.0/n)) AS chi2,
+                (count(DISTINCT va)-1)*(count(DISTINCT vb)-1) AS dof
+         FROM cells GROUP BY 1),
+dep AS (SELECT pair FROM disc WHERE {wh_z('chi2', 'dof')} > 1.6448536269514722),
+bl AS (SELECT o.pair, o.va, o.vb, o.cnt * 1.0 / nn.n AS p
+       FROM obs o JOIN nn USING (pair) WHERE o.pair IN (SELECT pair FROM dep)),
+nd AS (SELECT pair, count(*) AS num_diff FROM bl GROUP BY 1),
+post AS (SELECT pair, va, vb, CAST(floor((ern - 100 - 1)/50.0) AS BIGINT) AS chunk
+         FROM pos WHERE ern > 100 AND pair IN (SELECT pair FROM dep)),
+obs_post AS (SELECT pair, chunk, va, vb, count(*) AS cnt FROM post GROUP BY 1, 2, 3, 4),
+fullc AS (SELECT pair, chunk
+          FROM (SELECT pair, chunk, count(*) AS cn FROM post GROUP BY 1, 2)
+          WHERE cn >= 50),
+grid AS (SELECT bl.pair, f.chunk, coalesce(o.cnt, 0) AS cnt, bl.p * 50.0 AS e
+         FROM bl JOIN fullc f USING (pair)
+         LEFT JOIN obs_post o ON o.pair = bl.pair AND o.chunk = f.chunk
+                             AND o.va = bl.va AND o.vb = bl.vb),
+ch AS (SELECT pair, chunk, sum((cnt - e)**2 / e) AS chi2 FROM grid GROUP BY 1, 2),
+ch2 AS (SELECT ch.*, CAST(nd.num_diff - 1 AS BIGINT) AS dof FROM ch JOIN nd USING (pair)),
+newv AS (SELECT o.pair, o.chunk, count(*) AS n_new
+         FROM obs_post o JOIN fullc USING (pair, chunk)
+         WHERE NOT EXISTS (SELECT 1 FROM bl
+                           WHERE bl.pair = o.pair AND bl.va = o.va AND bl.vb = o.vb)
+         GROUP BY 1, 2),
+pc AS (SELECT ch2.pair, ch2.chunk, ch2.chi2, ch2.dof,
+              {wh_z('ch2.chi2', 'ch2.dof')} AS z,
+              CAST(coalesce(nv.n_new, 0) AS BIGINT) AS n_new
+       FROM ch2 LEFT JOIN newv nv ON nv.pair = ch2.pair AND nv.chunk = ch2.chunk),
+pf AS (SELECT *, (n_new > 0 OR z > 1.6448536269514722) AS failed FROM pc),
+lad AS (SELECT *,
+        CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) OVER tw AS BIGINT) AS n_fails,
+        CAST(count(*) OVER tw AS BIGINT) AS n_tests
+        FROM pf
+        WINDOW tw AS (PARTITION BY pair ORDER BY chunk
+                      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+al AS (SELECT *, (n_tests >= 30 AND (n_tests - n_fails) < {min_success}) AS alarm FROM lad)
+SELECT pair, chunk, round(chi2, 6) AS chi2, dof, round(z, 6) AS z, n_new,
+       failed, n_fails, n_tests, alarm,
+       (max(CASE WHEN alarm THEN 1 ELSE 0 END)
+          OVER (PARTITION BY pair ORDER BY chunk ROWS UNBOUNDED PRECEDING) = 1) AS dropped
+FROM al
+"""
 
 
 def _chi2_pairs_oracle() -> str:
@@ -1672,6 +1797,7 @@ FROM tied t JOIN c ON t.event_type = c.event_type
 GROUP BY t.event_type
 """,
     "chi2_pairs": _chi2_pairs_oracle(),
+    "var_corr_validate": _var_corr_validate_oracle(),
     "variable_types": """
 WITH agg AS (
   SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,

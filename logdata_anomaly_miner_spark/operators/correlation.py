@@ -106,6 +106,179 @@ def chi_square_pairs(
     )
 
 
+def validate_correlation_pairs(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_cols: Sequence[str] = ("event_id",),
+    num_init: int = 100,
+    num_update: int = 50,
+    alpha_z: float = 1.6448536269514722,
+    num_bt: int = 30,
+    bt_alpha: float = 0.05,
+    d_alpha: float = 0.05,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """VariableCorrelationDetector validation phase (reference
+    VariableCorrelationDetector.py:575-1300: update_or_test_cor* +
+    homogeneity_test :1200-1242 + validate_cor :1312): pairs discovered as
+    dependent on the first ``num_init`` rows are continuously RE-TESTED on
+    successive ``num_update``-row chunks with a chi² homogeneity test of
+    the chunk's joint (a, b) distribution against the discovery sample;
+    chunk failures feed a trailing ``num_bt`` binomial ladder (the same
+    machinery as var_gof.d_ladder), and an alarmed pair is DROPPED — the
+    running ``dropped`` flag mirrors the reference deleting the failing
+    correlation rule.
+
+    Scale shape: the pair melt multiplies rows by |pairs| (the reference
+    streams every atom through every pair too); per-pair row positions use
+    the two-phase range-bucket prefix count (timestamps.py pattern), so no
+    window ever sees a whole pair's stream in one task. Everything after
+    the per-(pair, chunk, combo) aggregation is tiny.
+
+    Returns (pair, chunk, chi2, dof, z, n_new, failed, n_fails, n_tests,
+    alarm, dropped)."""
+    from logdata_anomaly_miner_spark.operators.timestamps import _with_range_bucket
+    from logdata_anomaly_miner_spark.operators.var_gof import bt_min_successes
+
+    pair_structs = [
+        F.struct(
+            F.lit(f"{a}~{b}").alias("pair"),
+            F.col(a).cast("string").alias("va"),
+            F.col(b).cast("string").alias("vb"),
+        )
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+    ]
+    melted = (
+        df.select(*order_cols, F.explode(F.array(*pair_structs)).alias("_p"))
+        .select(*order_cols, "_p.pair", "_p.va", "_p.vb")
+        .filter(F.col("va").isNotNull() & F.col("vb").isNotNull())
+    )
+    # per-pair row position, distributed: local row_number per range bucket
+    # + broadcast carry of earlier buckets' per-pair counts
+    d = _with_range_bucket(melted, order_cols, num_buckets)
+    w_local = Window.partitionBy("pair", "_pid").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    d = d.withColumn("_lrn", F.row_number().over(w_local))
+    cnts = d.groupBy("pair", "_pid").agg(F.count(F.lit(1)).alias("_c"))
+    carry = (
+        cnts.alias("a")
+        .join(
+            cnts.alias("b"),
+            (F.col("b.pair") == F.col("a.pair")) & (F.col("b._pid") < F.col("a._pid")),
+        )
+        .groupBy(F.col("a.pair").alias("pair"), F.col("a._pid").alias("_pid"))
+        .agg(F.sum("b._c").alias("_carry"))
+    )
+    d = d.join(F.broadcast(carry), ["pair", "_pid"], "left").withColumn(
+        "_ern", F.col("_lrn") + F.coalesce(F.col("_carry"), F.lit(0))
+    )
+
+    init = d.filter(F.col("_ern") <= num_init)
+    # discovery: chi² independence per pair over the init sample, grid
+    # completed from the marginals (unobserved cells still contribute E)
+    obs = init.groupBy("pair", "va", "vb").agg(F.count(F.lit(1)).alias("cnt"))
+    ra = obs.groupBy("pair", "va").agg(F.sum("cnt").alias("ra"))
+    rb = obs.groupBy("pair", "vb").agg(F.sum("cnt").alias("rb"))
+    nn = obs.groupBy("pair").agg(F.sum("cnt").alias("n"))
+    cells = (
+        ra.join(rb, "pair")
+        .join(nn, "pair")
+        .join(obs, ["pair", "va", "vb"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        .withColumn("e", F.col("ra") * F.col("rb") / F.col("n"))
+    )
+    disc = cells.groupBy("pair").agg(
+        F.sum((F.col("cnt") - F.col("e")) ** 2 / F.col("e")).alias("chi2"),
+        ((F.countDistinct("va") - 1) * (F.countDistinct("vb") - 1))
+        .cast("long")
+        .alias("dof"),
+    )
+    k = F.nullif(F.col("dof").cast("double"), F.lit(0.0))
+    wh_z = (
+        F.pow(F.col("chi2") / k, F.lit(1.0 / 3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * k))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * k))
+    dep = disc.withColumn("z", wh_z).filter(F.col("z") > F.lit(float(alpha_z))).select("pair")
+
+    # homogeneity baseline: the dependent pairs' init joint distribution
+    bl = (
+        obs.join(F.broadcast(dep), "pair", "left_semi")
+        .join(nn, "pair")
+        .withColumn("p", F.col("cnt") / F.col("n"))
+        .select("pair", "va", "vb", "p")
+    )
+    num_diff = bl.groupBy("pair").agg(F.count(F.lit(1)).alias("num_diff"))
+
+    post = (
+        d.filter(F.col("_ern") > num_init)
+        .withColumn(
+            "chunk", F.floor((F.col("_ern") - num_init - 1) / F.lit(num_update))
+        )
+        .join(F.broadcast(dep), "pair", "left_semi")
+    )
+    obs_post = post.groupBy("pair", "chunk", "va", "vb").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    full_chunks = (
+        post.groupBy("pair", "chunk")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= num_update)
+        .select("pair", "chunk")
+    )
+    grid = (
+        bl.join(full_chunks, "pair")
+        .join(obs_post, ["pair", "chunk", "va", "vb"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        .withColumn("e", F.col("p") * F.lit(float(num_update)))
+        .withColumn("term", (F.col("cnt") - F.col("e")) ** 2 / F.col("e"))
+    )
+    chi2 = (
+        grid.groupBy("pair", "chunk")
+        .agg(F.sum("term").alias("chi2"))
+        .join(F.broadcast(num_diff), "pair")
+        .withColumn("dof", (F.col("num_diff") - 1).cast("long"))
+    )
+    new_vals = (
+        obs_post.join(full_chunks, ["pair", "chunk"], "left_semi")
+        .join(bl.select("pair", "va", "vb"), ["pair", "va", "vb"], "left_anti")
+        .groupBy("pair", "chunk")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    per_chunk = (
+        chi2.join(new_vals, ["pair", "chunk"], "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)).cast("long"))
+        .withColumn("z", wh_z)
+        .withColumn(
+            "failed", (F.col("n_new") > 0) | (F.col("z") > F.lit(float(alpha_z)))
+        )
+    )
+    # ladder + drop status: |pairs| × |chunks| rows by now — tiny — so the
+    # pair-partitioned windows are over aggregated chunk rows, not atoms
+    bt = Window.partitionBy("pair").orderBy("chunk").rowsBetween(-(num_bt - 1), 0)
+    run = Window.partitionBy("pair").orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    min_success = bt_min_successes(num_bt, 1.0 - d_alpha, bt_alpha)
+    return (
+        per_chunk.withColumn(
+            "n_fails", F.sum(F.col("failed").cast("int")).over(bt).cast("long")
+        )
+        .withColumn("n_tests", F.count(F.lit(1)).over(bt).cast("long"))
+        .withColumn(
+            "alarm",
+            (F.col("n_tests") >= num_bt)
+            & ((F.col("n_tests") - F.col("n_fails")) < min_success),
+        )
+        .withColumn("dropped", F.max(F.col("alarm").cast("int")).over(run) == 1)
+        .select(
+            "pair", "chunk", "chi2", "dof", "z", "n_new",
+            "failed", "n_fails", "n_tests", "alarm", "dropped",
+        )
+    )
+
+
 def mine_implication_rules(
     df: DataFrame,
     type_col: str,

@@ -31,13 +31,42 @@ from pyspark.sql import functions as F
 def _with_range_bucket(
     df: DataFrame, order_cols: Sequence[str], num_buckets: int | None
 ) -> DataFrame:
-    """Range-partition on the order columns and materialize the partition
-    id: bucket i holds order values strictly below bucket i+1's."""
+    """Adds ``_pid``: a range-bucket id where bucket i holds order values
+    no greater than bucket i+1's (equal order values always share a
+    bucket).
+
+    DETERMINISM: the id must be a pure function of the ROW — downstream
+    two-phase prefix scans evaluate the bucketed frame twice (local window
+    + per-bucket summary), and Spark recomputes each branch. The obvious
+    repartitionByRange + spark_partition_id() is NOT stable: range
+    boundaries come from a sampling pass that can differ between the two
+    evaluations, silently shifting rows across buckets and corrupting the
+    carry (observed: +41-row drift in per-pair positions on a 60k-row
+    melt). Equal-width bucketing on the in-plan [min, max] of the first
+    order column is sampling-free and evaluation-stable; order columns are
+    numeric (ids / epoch timestamps) everywhere this engine range-buckets.
+    Degenerate input (all order values equal) collapses to one bucket via
+    the nullif guard — correct, just serial."""
     nb = num_buckets or max(
         2, df.sparkSession.sparkContext.defaultParallelism * 2
     )
-    return df.repartitionByRange(nb, *[F.col(c) for c in order_cols]).withColumn(
-        "_pid", F.spark_partition_id()
+    c0 = order_cols[0]
+    dtype = dict(df.dtypes).get(c0, "")
+    if dtype not in ("tinyint", "smallint", "int", "bigint", "float", "double") and not dtype.startswith("decimal"):
+        raise TypeError(
+            f"range bucketing needs a numeric leading order column; got {c0}:{dtype}"
+        )
+    v = F.col(c0).cast("double")
+    mm = df.agg(F.min(v).alias("_blo"), F.max(v).alias("_bhi"))
+    width = F.nullif(F.col("_bhi") - F.col("_blo"), F.lit(0.0)) / F.lit(float(nb))
+    bucket = F.coalesce(
+        F.least(F.lit(nb - 1), F.floor((v - F.col("_blo")) / width).cast("int")),
+        F.lit(0),
+    )
+    return (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn("_pid", bucket)
+        .drop("_blo", "_bhi")
     )
 
 
