@@ -943,10 +943,17 @@ def load_reference_config(
     parser_id: str | None = None,
     order_col: str = "line_no",
     strict: bool = False,
+    module_registry: dict | None = None,
 ) -> ReferenceConfig:
     """``src``: path to a reference config.yml, a YAML string, or the
     already-parsed mapping. ``order_col``: ingest-order column of the raw
-    DataFrame (the atom sequence number)."""
+    DataFrame (the atom sequence number).
+
+    ``module_registry`` maps EXTERNAL parsing-model type names (reference
+    YamlConfig.py:147-180 imports them as Python modules from
+    /etc/aminer/conf-available) to builders ``(name, mk) -> Element``;
+    None uses the built-in plans/parser_modules.MODULE_REGISTRY. Entries
+    resolved this way are recorded in ``approximations``."""
     if isinstance(src, dict):
         data = src
     else:
@@ -976,6 +983,34 @@ def load_reference_config(
             used_names[base] = k
             if k > 1:
                 entry = {**entry, "name": f"{base}{k}"}
+        if module_registry is None:
+            from logdata_anomaly_miner_spark.plans.parser_modules import (
+                MODULE_REGISTRY as module_registry,  # noqa: N811
+            )
+        t = entry.get("type")
+        if t in module_registry:
+            # external parsing-model module (YamlConfig.py:147-180) resolved
+            # through the registry shim; leaf names dedup through the same
+            # used_names table as YAML-defined names so shared leaves
+            # (e.g. `time` across modules) never collide in the one regex
+            def mk(leaf: str, _used=used_names) -> str:
+                b = _sanitize(str(leaf))
+                j = _used.get(b, 0) + 1
+                _used[b] = j
+                return str(leaf) if j == 1 else f"{b}{j}"
+
+            try:
+                elements[entry["id"]] = module_registry[t](
+                    str(entry.get("name") or entry["id"]), mk
+                )
+                approximations.append(
+                    (entry["id"], f"external parser module {t} via registry shim")
+                )
+            except ReferenceConfigError as e:
+                if strict:
+                    raise
+                skipped.append((entry.get("id", t), str(e)))
+            continue
         try:
             elements[entry["id"]] = _build_element(
                 entry, elements, approximations, ref_counts

@@ -301,3 +301,56 @@ def test_loads_real_demo_config(spark):
     ]:
         rows = cfg.detectors[did](parsed).collect()
         assert isinstance(rows, list), did
+
+
+DEMO_GLOB = "/root/reference/aecid-testsuite/demo"
+RUSSELL = f"{DEMO_GLOB}/ait-lds2-russellmitchell-config.yml"
+
+
+@pytest.mark.skipif(not os.path.exists(DEMO_GLOB), reason="reference tree absent")
+def test_all_demo_configs_load_with_empty_skip_ledger(spark):
+    """Every reference demo config builds — external parsing-model modules
+    (YamlConfig.py:147-180) resolve through the plans/parser_modules
+    registry shim and land in `approximations`, never `skipped`."""
+    import glob
+
+    paths = sorted(glob.glob(f"{DEMO_GLOB}/**/*.yml", recursive=True))
+    assert len(paths) >= 11
+    for p in paths:
+        cfg = load_reference_config(p)
+        assert cfg.skipped == [], (p, cfg.skipped)
+
+
+@pytest.mark.skipif(not os.path.exists(RUSSELL), reason="reference tree absent")
+def test_russellmitchell_external_modules_end_to_end(spark):
+    """The ait-lds2-russellmitchell config (external ApacheAccess/Auditd
+    parsing models) parses real combined-log and auditd lines with typed
+    leaves, and its detector graph runs over the parsed batch."""
+    cfg = load_reference_config(RUSSELL)
+    assert cfg.skipped == []
+    assert [a for a, _ in cfg.approximations] == [
+        "ApacheAccessParsingModel", "AuditdParsingModel",
+    ]
+    lines = [
+        '192.168.10.4 - - [19/Jan/2022:09:32:04 +0000] "GET /wp-admin/index.php '
+        'HTTP/1.1" 200 3304 "http://intranet.smith.russellmitchell.com/" '
+        '"Mozilla/5.0 (X11; Linux x86_64)"',
+        '10.0.0.7 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326',
+        "type=SYSCALL msg=audit(1642584724.123:5678): arch=c000003e syscall=59 success=yes",
+        "garbage line that matches nothing",
+    ]
+    raw = spark.createDataFrame(
+        [(i, ln) for i, ln in enumerate(lines)], "line_no long, raw string"
+    )
+    parsed = cfg.parse(raw, "raw")
+    rows = parsed.orderBy("line_no").collect()
+    assert [r["_parse_ok"] for r in rows] == [True, True, True, False]
+    r0 = rows[0].asDict()
+    assert r0["method"] == "GET" and r0["statuscode"] == 200
+    assert r0["useragent"] == "Mozilla/5.0 (X11; Linux x86_64)"
+    # audit's `time` leaf deduped to time2 (apache's model claimed `time`)
+    assert rows[2]["type"] == "SYSCALL" and rows[2]["time2"] == pytest.approx(1642584724.123)
+    ok = parsed.filter("_parse_ok")
+    assert cfg.detectors["apache_VRD"](ok).count() >= 0
+    nm = cfg.detectors["apache_NMPVD"](ok)
+    assert nm.count() == 3  # every first occurrence is new with no baseline
