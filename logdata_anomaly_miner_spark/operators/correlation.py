@@ -156,12 +156,14 @@ def validate_correlation_pairs(
     )
     # per-pair row position, distributed: local row_number per range bucket
     # + broadcast carry of earlier buckets' per-pair counts
-    d = _with_range_bucket(melted, order_cols, num_buckets)
+    bucketed = _with_range_bucket(melted, order_cols, num_buckets)
     w_local = Window.partitionBy("pair", "_pid").orderBy(
         *[F.col(c) for c in order_cols]
     )
-    d = d.withColumn("_lrn", F.row_number().over(w_local))
-    cnts = d.groupBy("pair", "_pid").agg(F.count(F.lit(1)).alias("_c"))
+    # carry counts come from the PRE-window frame: the per-bucket count
+    # never needs the sort, so its recomputation branch skips it
+    cnts = bucketed.groupBy("pair", "_pid").agg(F.count(F.lit(1)).alias("_c"))
+    d = bucketed.withColumn("_lrn", F.row_number().over(w_local))
     carry = (
         cnts.alias("a")
         .join(
@@ -175,10 +177,27 @@ def validate_correlation_pairs(
         "_ern", F.col("_lrn") + F.coalesce(F.col("_carry"), F.lit(0))
     )
 
-    init = d.filter(F.col("_ern") <= num_init)
+    # ONE aggregation pass over the melted atoms produces the whole
+    # (pair, chunk, combo) count cube — init rows land in chunk -1.
+    # Catalyst does not CSE duplicated subplans, so every downstream
+    # consumer (marginals, baseline, chunk tests, new-combo scan) would
+    # otherwise re-evaluate the melt + prefix-position lineage; the cube
+    # is |pairs|·|chunks|·|combos| rows (tiny) and persists across the
+    # plan's many references.
+    cube = (
+        d.withColumn(
+            "chunk",
+            F.when(F.col("_ern") <= num_init, F.lit(-1).cast("long")).otherwise(
+                F.floor((F.col("_ern") - num_init - 1) / F.lit(num_update))
+            ),
+        )
+        .groupBy("pair", "chunk", "va", "vb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
     # discovery: chi² independence per pair over the init sample, grid
     # completed from the marginals (unobserved cells still contribute E)
-    obs = init.groupBy("pair", "va", "vb").agg(F.count(F.lit(1)).alias("cnt"))
+    obs = cube.filter(F.col("chunk") == -1).drop("chunk")
     ra = obs.groupBy("pair", "va").agg(F.sum("cnt").alias("ra"))
     rb = obs.groupBy("pair", "vb").agg(F.sum("cnt").alias("rb"))
     nn = obs.groupBy("pair").agg(F.sum("cnt").alias("n"))
@@ -211,19 +230,14 @@ def validate_correlation_pairs(
     )
     num_diff = bl.groupBy("pair").agg(F.count(F.lit(1)).alias("num_diff"))
 
-    post = (
-        d.filter(F.col("_ern") > num_init)
-        .withColumn(
-            "chunk", F.floor((F.col("_ern") - num_init - 1) / F.lit(num_update))
-        )
-        .join(F.broadcast(dep), "pair", "left_semi")
+    obs_post = cube.filter(F.col("chunk") >= 0).join(
+        F.broadcast(dep), "pair", "left_semi"
     )
-    obs_post = post.groupBy("pair", "chunk", "va", "vb").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    # a chunk's row count is the sum of its combo counts — derived from
+    # the cube, no extra pass over the atoms
     full_chunks = (
-        post.groupBy("pair", "chunk")
-        .agg(F.count(F.lit(1)).alias("cn"))
+        obs_post.groupBy("pair", "chunk")
+        .agg(F.sum("cnt").alias("cn"))
         .filter(F.col("cn") >= num_update)
         .select("pair", "chunk")
     )
