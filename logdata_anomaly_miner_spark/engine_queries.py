@@ -476,8 +476,14 @@ def q_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = gen_documents(spark, n_docs=5000, dup_rate=0.01, dangling_rate=0.05)
     media = gen_media(spark, 1000)
-    docs.write.mode("overwrite").parquet(f"{SUITE_CORPUS_DIR}/documents.parquet")
-    media.write.mode("overwrite").parquet(f"{SUITE_CORPUS_DIR}/media.parquet")
+    # coalesce: 5000 docs in 32 shards is pure task overhead on both the
+    # write and every downstream read (the oracle reads these files too)
+    docs.coalesce(4).write.mode("overwrite").parquet(
+        f"{SUITE_CORPUS_DIR}/documents.parquet"
+    )
+    media.coalesce(1).write.mode("overwrite").parquet(
+        f"{SUITE_CORPUS_DIR}/media.parquet"
+    )
     docs = spark.read.parquet(f"{SUITE_CORPUS_DIR}/documents.parquet")
     media = spark.read.parquet(f"{SUITE_CORPUS_DIR}/media.parquet")
     res = run_suite(spark, docs, media, SuiteConfig(entropy_prob_thresh=0.0))

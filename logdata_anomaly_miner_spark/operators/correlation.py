@@ -106,6 +106,11 @@ def chi_square_pairs(
     )
 
 
+# holds the newest persisted count cube from validate_correlation_pairs;
+# the next call unpersists it (bounded cache: at most one cube per session)
+_LAST_CUBE: list = []
+
+
 def validate_correlation_pairs(
     df: DataFrame,
     cols: Sequence[str],
@@ -195,6 +200,14 @@ def validate_correlation_pairs(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()
     )
+    # release the PREVIOUS call's cube so repeated calls in one session
+    # hold at most one cached cube (suite.py's release convention; a
+    # localCheckpoint would be GC-cleaned but fires its broadcast-build
+    # jobs at plan construction, breaking query-fn purity)
+    prev = _LAST_CUBE.pop() if _LAST_CUBE else None
+    if prev is not None:
+        prev.unpersist()
+    _LAST_CUBE.append(cube)
     # discovery: chi² independence per pair over the init sample, grid
     # completed from the marginals (unobserved cells still contribute E)
     obs = cube.filter(F.col("chunk") == -1).drop("chunk")

@@ -48,7 +48,10 @@ def main() -> None:
             "spark.eventLog.rolling.enabled": "false",
         },
     )
-    docs_path = f"/dev/shm/bench_docs_{n_docs}.parquet"
+    # same resolution as bench.py so both tools measure the SAME corpus
+    docs_path = os.environ.get(
+        "SPARK_GRAFT_DOCS_PATH", f"/dev/shm/bench_docs_{n_docs}.parquet"
+    )
     if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
         gen_documents(
             spark, n_docs=n_docs, dup_rate=0.001, dangling_rate=0.02,
@@ -59,6 +62,7 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
 
     t0 = time.time()
+    t0_ms = int(t0 * 1000)
     res = run_suite(
         spark, docs, media, SuiteConfig(entropy_prob_thresh=0.0001), persist=False
     )
@@ -76,6 +80,11 @@ def main() -> None:
                 except json.JSONDecodeError:
                     continue
                 if ev.get("Event") != "SparkListenerTaskEnd":
+                    continue
+                # only the suite's tasks: a cold-cache run generates the
+                # corpus (plus warmup) inside the same event-logged
+                # session, which must not pollute the stage evidence
+                if (ev.get("Task Info") or {}).get("Launch Time", 0) < t0_ms:
                     continue
                 sid = (ev["Stage ID"], ev["Stage Attempt ID"])
                 m = ev.get("Task Metrics") or {}
@@ -95,6 +104,16 @@ def main() -> None:
                 s["sh_write_b"] += (m.get("Shuffle Write Metrics") or {}).get(
                     "Shuffle Bytes Written", 0
                 )
+
+    # keep only the LAST attempt per stage: a task-set retry would
+    # otherwise double-count its bytes/time and fake shuffle inflation
+    last_attempt: dict[int, int] = {}
+    for (stage_id, att) in stages:
+        last_attempt[stage_id] = max(last_attempt.get(stage_id, 0), att)
+    retried = sum(1 for (sid, att) in stages if att < last_attempt[sid])
+    stages = {
+        k: v for k, v in stages.items() if k[1] == last_attempt[k[0]]
+    }
 
     cls = {"scan": 0.0, "reduce": 0.0, "other": 0.0}
     n_stage = {"scan": 0, "reduce": 0, "other": 0}
@@ -121,6 +140,7 @@ def main() -> None:
         "shuffle_read_mb": round(tot_sr / 1e6, 1),
         "shuffle_write_mb": round(tot_sw / 1e6, 1),
         "gc_s": round(sum(s["gc_ms"] for s in stages.values()) / 1000.0, 1),
+        "retried_stage_attempts_dropped": retried,
     }))
 
 
