@@ -68,22 +68,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, seed, minhash) — minhash per seed = min over shingles of
     md5(seed || shingle) compared as hex strings (portable, deterministic).
-    Implemented as explode → groupBy(id, seed) min: two narrow shuffles,
-    no Python."""
+
+    One wide aggregation: n_hashes min(md5(seed:shingle)) columns over the
+    shingle rows (map-side combined), per-seed shape restored with stack()
+    after aggregation — hash values identical to the former seed-exploded
+    form (same md5 inputs), but the shuffle carries |docs| wide rows
+    instead of |shingles|·n_hashes hex strings."""
     ex = df.select(
         F.col(id_col).alias("_id"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
     )
-    seeded = ex.select(
-        "_id",
-        F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed"),
-        F.col("sh"),
+    agg = ex.groupBy("_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
     )
-    return (
-        seeded.withColumn("h", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))))
-        .groupBy("_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-        .withColumnRenamed("_id", id_col)
+    stack_args = ", ".join(f"{i}, _h{i}" for i in range(n_hashes))
+    return agg.selectExpr(
+        f"_id as {id_col}",
+        f"stack({n_hashes}, {stack_args}) as (seed, minhash)",
     )
 
 
