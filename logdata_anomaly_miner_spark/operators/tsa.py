@@ -214,6 +214,88 @@ def hr_arma_forecast_bands(
     return out.select(*key_cols, w_col, cnt_col, "pred", "sigma", "n_train", "anomaly")
 
 
+def arma_forecast_bands(
+    counts: DataFrame,
+    key_cols: Sequence[str],
+    p: int = 1,
+    q: int = 1,
+    d: int = 0,
+    seasonal_lag: int | None = None,
+    z: float = 1.96,
+    min_train: int = 20,
+    cnt_col: str = "cnt",
+    w_col: str = "w",
+) -> DataFrame:
+    """General ARMA(p,q) (+optional d=1 differencing and one seasonal AR
+    lag) per key via applyInPandas — the full-surface analog of the
+    reference's statsmodels fit (TSAArimaDetector.py:32-560) for keys that
+    need more memory than the declarative hr/ar1 forms.
+
+    Hannan–Rissanen: stage 1 fits a long AR(max(p+q, 2)) by OLS and takes
+    its residuals ê; stage 2 regresses y_t on [1, y_{t-1..p}, ê_{t-1..q},
+    y_{t-S}] by OLS. With d=1 both stages run on the first difference and
+    the level forecast is reconstituted as y_{t-1} + Δ̂_t. One ordered
+    Arrow batch per key; keys distribute across executors; series length
+    is bounded by the window-count domain."""
+    in_types = {f.name: f.dataType.simpleString() for f in counts.schema.fields}
+    schema = (
+        ", ".join(f"{c} {in_types[c]}" for c in key_cols)
+        + f", {w_col} {in_types[w_col]}, {cnt_col} double, "
+        + "pred double, sigma double, anomaly boolean"
+    )
+    m = max(p + q, 2)
+    slag = int(seasonal_lag) if seasonal_lag else 0
+
+    def fit(key, pdf):
+        pdf = pdf.sort_values(w_col).reset_index(drop=True)
+        lvl = pdf[cnt_col].to_numpy(dtype=np.float64)
+        n = len(lvl)
+        yv = np.diff(lvl) if d == 1 else lvl
+        ny = len(yv)
+        # stage 1: long AR residuals
+        e = np.full(ny, np.nan)
+        preds_y = np.full(ny, np.nan)
+        start = max(m + q, p, slag)
+        if ny > start + min_train:
+            x1 = np.column_stack(
+                [np.ones(ny - m)] + [yv[m - k - 1 : ny - k - 1] for k in range(m)]
+            )
+            th1, *_ = np.linalg.lstsq(x1, yv[m:], rcond=None)
+            e[m:] = yv[m:] - x1 @ th1
+            # stage 2 design: AR lags, MA (lagged residual) terms, seasonal
+            rows = np.arange(start, ny)
+            cols = [np.ones(len(rows))]
+            cols += [yv[rows - k] for k in range(1, p + 1)]
+            cols += [e[rows - k] for k in range(1, q + 1)]
+            if slag:
+                cols.append(yv[rows - slag])
+            x2 = np.column_stack(cols)
+            th2, *_ = np.linalg.lstsq(x2, yv[rows], rcond=None)
+            preds_y[rows] = x2 @ th2
+        # reconstitute to level space
+        preds = np.full(n, np.nan)
+        if d == 1:
+            preds[1:] = lvl[:-1] + preds_y
+        else:
+            preds = preds_y
+        resid = lvl[~np.isnan(preds)] - preds[~np.isnan(preds)]
+        sigma = float(np.sqrt(np.mean(resid**2))) if resid.size else float("nan")
+        anom = (
+            (np.abs(lvl - preds) > z * sigma) & ~np.isnan(preds)
+            if resid.size
+            else np.zeros(n, dtype=bool)
+        )
+        out = pd.DataFrame(
+            {w_col: pdf[w_col], cnt_col: lvl, "pred": preds, "sigma": sigma,
+             "anomaly": anom}
+        )
+        for c, v in zip(key_cols, key):
+            out[c] = v
+        return out[[*key_cols, w_col, cnt_col, "pred", "sigma", "anomaly"]]
+
+    return counts.groupBy(*key_cols).applyInPandas(fit, schema)
+
+
 def ar_forecast_bands(
     counts: DataFrame,
     key_cols: Sequence[str],

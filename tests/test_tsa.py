@@ -148,3 +148,48 @@ def test_ar1_diff_handles_trend(spark):
     ).collect()}
     assert abs(clean[10]["pred"] - 100.0) < 1e-6
     assert not any(r["anomaly"] for r in clean.values())
+
+
+def test_arma_pq_recovers_and_flags(spark):
+    """ARMA(2,1) via the general applyInPandas Hannan–Rissanen: on a
+    synthetic ARMA(2,1) series the in-sample predictions track closely
+    (sigma near the innovation scale) and an injected burst flags."""
+    from logdata_anomaly_miner_spark.operators.tsa import arma_forecast_bands
+
+    rng = np.random.RandomState(5)
+    eps = rng.uniform(-1, 1, 120)
+    vals = [10.0, 11.0]
+    for t in range(2, 120):
+        vals.append(
+            4 + 0.5 * vals[-1] + 0.2 * vals[-2] + eps[t] + 0.4 * eps[t - 1]
+        )
+    vals.append(60.0)  # burst
+    out = {r["w"]: r for r in arma_forecast_bands(
+        _series(spark, vals), ["k"], p=2, q=1
+    ).collect()}
+    assert out[len(vals) - 1]["anomaly"] is True
+    # sigma is burst-inflated (in-sample fit includes the spike: one ~45
+    # residual over ~118 rows ≈ 4.1); still far below the burst residual
+    sig = next(r["sigma"] for r in out.values() if r["pred"] is not None)
+    assert sig < 5.0
+    false_alarms = [w for w, r in out.items() if r["anomaly"] and w != len(vals) - 1]
+    assert len(false_alarms) <= 3
+
+
+def test_arma_seasonal_diff_combination(spark):
+    """d=1 + seasonal lag: trend + period-6 cycle fits near-exactly; a
+    broken cycle point flags; clean series has no alarms."""
+    from logdata_anomaly_miner_spark.operators.tsa import arma_forecast_bands
+
+    cyc = [0.0, 8.0, 3.0, -2.0, 5.0, 1.0]
+    clean_vals = [0.5 * t + cyc[t % 6] for t in range(120)]
+    vals = list(clean_vals)
+    vals[100] += 25.0
+    out = {r["w"]: r for r in arma_forecast_bands(
+        _series(spark, vals), ["k"], p=1, q=0, d=1, seasonal_lag=6, min_train=10
+    ).collect()}
+    assert out[100]["anomaly"]
+    clean = {r["w"]: r for r in arma_forecast_bands(
+        _series(spark, clean_vals), ["k"], p=1, q=0, d=1, seasonal_lag=6, min_train=10
+    ).collect()}
+    assert not any(r["anomaly"] for r in clean.values())
