@@ -467,12 +467,19 @@ def q_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full validation suite over a deterministic synthesized documents
     table. The corpus is PERSISTED to parquet inside the query and read
     back, so the suite consumes exactly the bytes the DuckDB oracle reads —
-    which replicates the uniqueness / referential / new-value verdict
-    counts relationally (entropy contributes zero rows at prob_thresh=0.0
-    and drift has no baseline in this config, so the verdict table is fully
-    relational). Returns per-(partition, suite) verdicts."""
+    which replicates ALL FIVE contributing suites relationally:
+    uniqueness / referential / new-value counts, the entropy check (byte-
+    bigram critical values < 0.15, learned from the corpus's distinct
+    texts — the same SQL machinery as the entropy_score oracle), and the
+    PSI drift check against a short-text (≤2 token) baseline histogram
+    built from the same corpus. Returns per-(partition, suite) verdicts."""
+    from logdata_anomaly_miner_spark.constraints.drift import histogram
     from logdata_anomaly_miner_spark.constraints.suite import SuiteConfig, run_suite
-    from logdata_anomaly_miner_spark.datagen import gen_documents, gen_media
+    from logdata_anomaly_miner_spark.datagen import (
+        explode_spans,
+        gen_documents,
+        gen_media,
+    )
 
     docs = gen_documents(spark, n_docs=5000, dup_rate=0.01, dangling_rate=0.05)
     media = gen_media(spark, 1000)
@@ -486,7 +493,21 @@ def q_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = spark.read.parquet(f"{SUITE_CORPUS_DIR}/documents.parquet")
     media = spark.read.parquet(f"{SUITE_CORPUS_DIR}/media.parquet")
-    res = run_suite(spark, docs, media, SuiteConfig(entropy_prob_thresh=0.0))
+    # drift baseline: the length histogram of SHORT spans (≤2 pool tokens)
+    # — a deterministic, corpus-derived distribution shift that makes the
+    # PSI check fire for the kinds whose span lengths spread widest
+    flat = explode_spans(docs)
+    short = flat.filter(
+        F.col("text").isNotNull()
+        & (
+            (F.length("text") - F.length(F.regexp_replace("text", " ", ""))) <= 1
+        )
+    ).withColumn("text_len", F.length("text").cast("double"))
+    base_hist = histogram(short, "text_len", 0.0, 200.0, 10, ["kind"])
+    res = run_suite(
+        spark, docs, media,
+        SuiteConfig(entropy_prob_thresh=0.15, baseline_hist=base_hist),
+    )
     return res.verdicts.select(
         "partition", "suite", F.col("n_violations").cast("long").alias("n_violations"), "pass"
     )
@@ -2301,12 +2322,50 @@ v_new AS (
          count(*) AS n
   FROM firsts GROUP BY 1
 ),
+texts AS (SELECT DISTINCT text FROM flat WHERE text IS NOT NULL),
+hx AS (SELECT text, hex(encode(text)) AS h, octet_length(encode(text)) AS nb FROM texts),
+epairs AS (
+  SELECT d.text,
+         CASE WHEN t.i = 0 THEN 256
+              ELSE ('0x' || substr(d.h, (t.i - 1) * 2 + 1, 2))::INT END AS first,
+         CASE WHEN t.i = d.nb THEN 256
+              ELSE ('0x' || substr(d.h, t.i * 2 + 1, 2))::INT END AS second
+  FROM hx d, (SELECT unnest(generate_series(0, (SELECT max(nb) FROM hx))) AS i) t
+  WHERE t.i <= d.nb),
+efreq AS (SELECT first, second, count(*) AS cnt FROM epairs GROUP BY 1, 2),
+etot AS (SELECT first, sum(cnt) AS total FROM efreq GROUP BY 1),
+ecv AS (SELECT p.text, avg(coalesce(f.cnt * 1.0 / t.total, 0.0)) AS cv
+        FROM epairs p
+        LEFT JOIN efreq f ON p.first = f.first AND p.second = f.second
+        LEFT JOIN etot t ON p.first = t.first GROUP BY p.text),
+ebad AS (SELECT text FROM ecv WHERE cv < 0.15),
+v_ent AS (SELECT part, count(*) AS n FROM flat JOIN ebad USING (text) GROUP BY part),
+sl AS (SELECT kind, length(text) AS ln FROM flat
+       WHERE text IS NOT NULL
+         AND length(text) - length(replace(text, ' ', '')) <= 1),
+bh AS (SELECT kind, CAST(least(greatest(floor(ln / 20.0), 0), 9) AS BIGINT) AS bucket,
+              count(*) AS cnt FROM sl GROUP BY 1, 2),
+cl AS (SELECT kind, length(text) AS ln FROM flat WHERE text IS NOT NULL),
+ch AS (SELECT kind, CAST(least(greatest(floor(ln / 20.0), 0), 9) AS BIGINT) AS bucket,
+              count(*) AS cnt FROM cl GROUP BY 1, 2),
+dj AS (SELECT coalesce(c.kind, b.kind) AS kind, coalesce(c.bucket, b.bucket) AS bucket,
+              coalesce(c.cnt, 0) AS c_cnt, coalesce(b.cnt, 0) AS b_cnt
+       FROM ch c FULL OUTER JOIN bh b ON c.kind = b.kind AND c.bucket = b.bucket),
+dtot AS (SELECT kind, sum(c_cnt) AS ct, sum(b_cnt) AS bt FROM dj GROUP BY 1),
+dpsi AS (SELECT dj.kind,
+                sum(((c_cnt * 1.0 / ct + 0.000001) - (b_cnt * 1.0 / bt + 0.000001))
+                    * ln((c_cnt * 1.0 / ct + 0.000001) / (b_cnt * 1.0 / bt + 0.000001))) AS psi
+         FROM dj JOIN dtot USING (kind) GROUP BY 1),
+dfail AS (SELECT kind FROM dpsi WHERE psi > 0.2),
+parts AS (SELECT DISTINCT part FROM docs),
+v_drift AS (SELECT p.part, count(*) AS n FROM parts p CROSS JOIN dfail GROUP BY 1),
 allv AS (
   SELECT part, 'uniqueness' AS suite, n FROM v_uniq
   UNION ALL SELECT part, 'referential', n FROM v_ref
   UNION ALL SELECT part, 'new_value', n FROM v_new
-),
-parts AS (SELECT DISTINCT part FROM docs)
+  UNION ALL SELECT part, 'entropy', n FROM v_ent
+  UNION ALL SELECT part, 'drift', n FROM v_drift
+)
 SELECT p.part AS partition, a.suite AS suite,
        CAST(coalesce(a.n, 0) AS BIGINT) AS n_violations,
        coalesce(a.n, 0) = 0 AS pass
