@@ -529,9 +529,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (clustering scale path) — rows-only check like
-    ann_lsh: recall vs the exact scan is < 1 by construction (and the
-    KMeans codebook is float-reduction-order dependent), so no SQL oracle."""
+    """IVF-bucketed ANN (clustering scale path). The trained KMeans
+    codebook is float-reduction-order dependent, so it cannot be
+    REPRODUCED by an oracle — instead the query PERSISTS the codebook it
+    trained (the suite_verdicts corpus trick) and the oracle replicates
+    cell assignment, probe selection, and the cosine re-rank over those
+    exact bytes. Only the (offline-at-scale) training step stays
+    engine-internal."""
     from logdata_anomaly_miner_spark.functions.similarity import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -542,6 +546,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_topk(
         spark, emb, "embedding", [float(x) for x in qvec], k=10,
         n_centroids=8, n_probe=3, train_fraction=0.2,
+        codebook_out_path=f"{SUITE_CORPUS_DIR}/ivf_codebook.parquet",
     )
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
@@ -2279,6 +2284,36 @@ s AS (SELECT vec_id,
                    / sqrt(list_dot_product(le, le) * list_dot_product(qe, qe)), 9) AS cosine
       FROM cands CROSS JOIN q),
 r AS (SELECT vec_id, cosine, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM s)
+SELECT vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""",
+    # Replays IVF assignment / probe / rerank over the codebook the query
+    # persisted (training itself is engine-side — offline at scale). Cell
+    # score s = v·c − ‖c‖²/2; assignment tie-break = larger cell (Spark's
+    # array_max over (s, cell) structs); probe order (s DESC, cell ASC)
+    # matches Python's stable sort on −score.
+    "ann_ivf": f"""
+WITH cb AS (SELECT cell, list_transform(c, x -> CAST(x AS DOUBLE)) AS cv
+            FROM '{SUITE_CORPUS_DIR}/ivf_codebook.parquet/*.parquet'),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS le
+      FROM embeddings),
+q AS (SELECT le AS qe FROM e WHERE vec_id = 0),
+qs AS (SELECT cb.cell,
+              list_dot_product(q.qe, cb.cv) - 0.5 * list_dot_product(cb.cv, cb.cv) AS s
+       FROM cb, q),
+probes AS (SELECT cell FROM qs ORDER BY s DESC, cell ASC LIMIT 3),
+sc AS (SELECT e.vec_id, e.le, cb.cell,
+              list_dot_product(e.le, cb.cv) - 0.5 * list_dot_product(cb.cv, cb.cv) AS s
+       FROM e CROSS JOIN cb),
+asg AS (SELECT vec_id, le, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+          FROM sc) WHERE rn = 1),
+cands AS (SELECT vec_id, le FROM asg WHERE cell IN (SELECT cell FROM probes)),
+s2 AS (SELECT vec_id,
+              round(list_dot_product(le, qe)
+                    / sqrt(list_dot_product(le, le) * list_dot_product(qe, qe)), 9) AS cosine
+       FROM cands CROSS JOIN q),
+r AS (SELECT vec_id, cosine, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM s2)
 SELECT vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 10
 """,

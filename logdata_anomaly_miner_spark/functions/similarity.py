@@ -173,6 +173,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     train_fraction: float = 1.0,
+    codebook_out_path: str | None = None,
 ) -> DataFrame:
     """IVF ANN (the clustering-based scale path next to the hyperplane-LSH
     one): KMeans codebook -> every vector lands in a cell; a query scans
@@ -193,6 +194,14 @@ def ivf_topk(
         train = train.sample(fraction=train_fraction, seed=seed)
     km = KMeans(k=n_centroids, seed=seed).fit(train)
     centers = [list(map(float, c)) for c in km.clusterCenters()]
+    if codebook_out_path is not None:
+        # persist the trained codebook: downstream assignment / probe /
+        # rerank become pure functions of (vectors, codebook) that an
+        # external oracle can replicate over these exact bytes — training
+        # itself stays engine-side (it is offline at scale anyway)
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)], "cell int, c array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(codebook_out_path)
     q = np.array(query, dtype=np.float64)
     scores = [
         float(np.dot(q, np.array(c)) - 0.5 * float(np.dot(np.array(c), np.array(c))))
