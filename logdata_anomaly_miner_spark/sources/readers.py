@@ -132,6 +132,45 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_log_resources(
+    spark: SparkSession,
+    resources: list[dict],
+    parsers: dict | None = None,
+    default_parser=None,
+    max_line_length: int = 1 << 16,
+    streaming: bool = False,
+) -> DataFrame:
+    """SimpleByteStreamLineAtomizerFactory analog (reference
+    aminer/input/SimpleByteStreamLineAtomizerFactory.py:20-76): one atom
+    frame from many log resources, where EACH resource may override the
+    factory defaults — its parser (`parser_id` into ``parsers``, a dict of
+    ``fn(df, raw_col) -> parsed df`` such as ReferenceConfig.parse), its
+    ``max_line_length`` (the reference's fixed 1<<16), and its source tag.
+
+    Resource dicts: ``{path, source?, parser_id?, max_line_length?}``.
+    Atoms from differently-parsed resources union by name with null-filled
+    missing columns — the columnar form of delivering every atom to the
+    same handler lists regardless of which parser produced it."""
+    frames = []
+    for r in resources:
+        df = read_text_lines(
+            spark,
+            r["path"],
+            max_line_length=r.get("max_line_length", max_line_length),
+            source_tag=r.get("source", r["path"]),
+            streaming=streaming,
+        )
+        fn = default_parser
+        if parsers is not None and r.get("parser_id") is not None:
+            if r["parser_id"] not in parsers:
+                raise KeyError(f"unknown parser_id {r['parser_id']!r}")
+            fn = parsers[r["parser_id"]]
+        if fn is not None:
+            df = fn(df, "raw")
+        frames.append(df)
+    return multisource_union(frames)
+
+
 def multisource_union(sources: list[DataFrame]) -> DataFrame:
     """Batch analog of SimpleMultisourceAtomSync: union then event-time
     ordering is free (any orderBy/window downstream); no wait protocol

@@ -448,3 +448,45 @@ def test_streaming_file_rollover(spark, tmp_path):
     batch = read_text_lines(spark, str(d))
     assert batch.count() == 5
     assert batch.select("ingest_order").distinct().count() == 5
+
+
+def test_read_log_resources_per_resource_config(spark, tmp_path):
+    """Factory analog (SimpleByteStreamLineAtomizerFactory.py:20-76):
+    per-resource parser + max_line_length overrides; differently-parsed
+    atoms union with null-filled columns and per-resource overlong flags."""
+    from pyspark.sql import functions as F
+
+    from logdata_anomaly_miner_spark import parsing as P
+    from logdata_anomaly_miner_spark.sources.readers import read_log_resources
+
+    a = tmp_path / "a.log"
+    a.write_text("user alice logged in\nuser bob logged in\n")
+    b = tmp_path / "b.log"
+    b.write_text("temp 42\n" + "x" * 30 + "\n")
+
+    model_a = P.seq(P.fixed("user "), P.delimited("who", " "), P.fixed("logged in"))
+    model_b = P.seq(P.fixed("temp "), P.decimal_integer("celsius", allow_sign=False))
+    parsers = {
+        "A": lambda df, col: P.parse(df, col, model_a),
+        "B": lambda df, col: P.parse(df, col, model_b),
+    }
+    out = read_log_resources(
+        spark,
+        [
+            {"path": str(a), "source": "appA", "parser_id": "A"},
+            {"path": str(b), "source": "appB", "parser_id": "B", "max_line_length": 20},
+        ],
+        parsers=parsers,
+    )
+    rows = out.collect()
+    assert len(rows) == 4
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    # parser A's column only on A's atoms; B's only on B's
+    assert sorted(r["who"] for r in by_src["appA"]) == ["alice", "bob"]
+    assert all(r["celsius"] is None for r in by_src["appA"])
+    assert [r["celsius"] for r in by_src["appB"] if r["_parse_ok"]] == [42]
+    # per-resource max_line_length: only B's 30-char line is overlong
+    assert sum(r["overlong"] for r in by_src["appA"]) == 0
+    assert sum(r["overlong"] for r in by_src["appB"]) == 1
