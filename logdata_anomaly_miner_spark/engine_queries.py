@@ -67,6 +67,22 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Named persist slots: Catalyst does not CSE duplicated subplans, so a
+# frame consumed by many plan branches is persisted — and the PREVIOUS
+# invocation's frame is released, so repeated calls in one session hold at
+# most one cached copy per slot (suite.py's release convention).
+_PERSIST_SLOTS: dict[str, DataFrame] = {}
+
+
+def _persist_slot(df: DataFrame, slot: str) -> DataFrame:
+    prev = _PERSIST_SLOTS.pop(slot, None)
+    if prev is not None:
+        prev.unpersist()
+    out = df.persist()
+    _PERSIST_SLOTS[slot] = out
+    return out
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with epoch seconds (es, double) and micros (us, long)."""
     ev = _read(spark, sf_dir, "events")
@@ -228,8 +244,10 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = ev.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
     src = ev.filter(F.col("value").isNotNull()).crossJoin(F.broadcast(mm))
     # nullif guard: an all-equal value column makes hi == lo, and ANSI mode
-    # (Spark 4 default) raises DIVIDE_BY_ZERO even for doubles — degenerate
-    # input should yield null buckets, not a job abort
+    # (Spark 4 default) raises DIVIDE_BY_ZERO even for doubles. The null
+    # width flows into floor() as null; greatest/least SKIP nulls, so every
+    # degenerate row lands in one bucket (a single-bucket histogram — PSI
+    # still well-defined) instead of aborting the job.
     width = F.nullif(F.col("_hi") - F.col("_lo"), F.lit(0.0)) / F.lit(10.0)
     bucket = F.least(
         F.greatest(F.floor((F.col("value") - F.col("_lo")) / width), F.lit(0)),
@@ -861,7 +879,12 @@ def q_tsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _events(spark, sf_dir)
-    counts = anchored_window_counts(ev, ["event_type"], 600.0, ts_col="es")
+    # all four variants (and their internal fit/score/sigma self-joins)
+    # re-evaluate the counts lineage otherwise — one cached copy, released
+    # on the next invocation
+    counts = _persist_slot(
+        anchored_window_counts(ev, ["event_type"], 600.0, ts_col="es"), "tsa_counts"
+    )
     variants = [
         ("ar1", ar1_forecast_bands(counts, ["event_type"], z=1.96, min_train=10)),
         ("d1", ar1_forecast_bands(counts, ["event_type"], z=1.96, min_train=10, diff=1)),
@@ -2324,8 +2347,9 @@ FROM r WHERE rank <= 10
     # row with a dangling media_ref), new_value (one per distinct
     # (kind, text), attributed to the partition of its first occurrence —
     # partition is a function of ts, so min(ts) decides it deterministically
-    # even under (ts, doc_id) ties). Entropy yields no rows at
-    # prob_thresh=0.0 and drift has no baseline, matching the Spark side.
+    # even under (ts, doc_id) ties), entropy (byte-bigram critical value
+    # < 0.15 learned from the corpus's distinct texts), and PSI drift vs
+    # the short-text baseline — matching the Spark config exactly.
     "suite_verdicts": f"""
 WITH docs AS (
   SELECT doc_id, ts, spans,
@@ -2388,8 +2412,13 @@ dj AS (SELECT coalesce(c.kind, b.kind) AS kind, coalesce(c.bucket, b.bucket) AS 
        FROM ch c FULL OUTER JOIN bh b ON c.kind = b.kind AND c.bucket = b.bucket),
 dtot AS (SELECT kind, sum(c_cnt) AS ct, sum(b_cnt) AS bt FROM dj GROUP BY 1),
 dpsi AS (SELECT dj.kind,
-                sum(((c_cnt * 1.0 / ct + 0.000001) - (b_cnt * 1.0 / bt + 0.000001))
-                    * ln((c_cnt * 1.0 / ct + 0.000001) / (b_cnt * 1.0 / bt + 0.000001))) AS psi
+                -- coalesce/nullif mirrors Spark psi_kl's zero-total guard:
+                -- a kind absent from one histogram reads as share 0
+                -- (EPS-smoothed maximal drift), not NULL psi
+                sum(((coalesce(c_cnt * 1.0 / nullif(ct, 0), 0.0) + 0.000001)
+                     - (coalesce(b_cnt * 1.0 / nullif(bt, 0), 0.0) + 0.000001))
+                    * ln((coalesce(c_cnt * 1.0 / nullif(ct, 0), 0.0) + 0.000001)
+                         / (coalesce(b_cnt * 1.0 / nullif(bt, 0), 0.0) + 0.000001))) AS psi
          FROM dj JOIN dtot USING (kind) GROUP BY 1),
 dfail AS (SELECT kind FROM dpsi WHERE psi > 0.2),
 parts AS (SELECT DISTINCT part FROM docs),

@@ -42,11 +42,14 @@ def _with_range_bucket(
     boundaries come from a sampling pass that can differ between the two
     evaluations, silently shifting rows across buckets and corrupting the
     carry (observed: +41-row drift in per-pair positions on a 60k-row
-    melt). Equal-width bucketing on the in-plan [min, max] of the first
-    order column is sampling-free and evaluation-stable; order columns are
-    numeric (ids / epoch timestamps) everywhere this engine range-buckets.
-    Degenerate input (all order values equal) collapses to one bucket via
-    the nullif guard — correct, just serial."""
+    melt). Boundaries here are in-plan percentile_approx quantiles of the
+    first order column — a deterministic aggregate (partition merge order
+    is fixed), evaluation-stable, AND load-balanced under skew (equal-
+    width bucketing would funnel a burst into one bucket). bucket(row) =
+    number of boundaries ≤ its order value, so equal order values always
+    share a bucket, NULL order values land in bucket 0 (matching their
+    nulls-first position in the window sort), and degenerate all-equal
+    input collapses to one bucket — correct, just serial."""
     nb = num_buckets or max(
         2, df.sparkSession.sparkContext.defaultParallelism * 2
     )
@@ -57,16 +60,20 @@ def _with_range_bucket(
             f"range bucketing needs a numeric leading order column; got {c0}:{dtype}"
         )
     v = F.col(c0).cast("double")
-    mm = df.agg(F.min(v).alias("_blo"), F.max(v).alias("_bhi"))
-    width = F.nullif(F.col("_bhi") - F.col("_blo"), F.lit(0.0)) / F.lit(float(nb))
+    probs = F.array(*[F.lit(i / nb) for i in range(1, nb)])
+    mm = df.agg(F.percentile_approx(v, probs, F.lit(10_000)).alias("_bnds"))
     bucket = F.coalesce(
-        F.least(F.lit(nb - 1), F.floor((v - F.col("_blo")) / width).cast("int")),
+        F.aggregate(
+            F.col("_bnds"),
+            F.lit(0),
+            lambda acc, b: acc + F.when(v >= b, 1).otherwise(0),
+        ),
         F.lit(0),
     )
     return (
         df.crossJoin(F.broadcast(mm))
         .withColumn("_pid", bucket)
-        .drop("_blo", "_bhi")
+        .drop("_bnds")
     )
 
 

@@ -54,15 +54,18 @@ def apache_access(name: str, mk: Callable[[str], str]) -> P.Element:
         P.delimited(mk("version"), '"', consume_delimiter=False),
     )
     return P.seq(
-        P.first_match(
+        # reference nests two client_ip leaves in sibling branches (the
+        # match tree keys by full path); a flat column namespace needs ONE
+        # leaf serving both shapes, so the domain prefix is optional and
+        # regex backtracking skips it when the line starts with the IP —
+        # every branch binds the same client_ip column
+        P.optional(
             P.seq(
                 P.delimited(mk("domain"), " ", consume_delimiter=False),
                 P.fixed(" "),
-                P.ip_address(mk("client_ip")),
-            ),
-            P.ip_address(mk("client_ip")),
-            P.fixed("::1"),
+            )
         ),
+        P.first_match(P.ip_address(mk("client_ip")), P.fixed("::1")),
         P.fixed(" "),
         P.variable_bytes(mk("client_id"), _URLCHARS),
         P.fixed(" "),

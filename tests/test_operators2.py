@@ -187,3 +187,39 @@ def test_minimal_transition_time(spark):
     assert [(r["from_value"], r["to_value"], r["dt"]) for r in viols.collect()] == [("s1", "s2", 1.0)]
     m = {(r["from_value"], r["to_value"]): r["min_dt"] for r in merged.collect()}
     assert m[("s1", "s2")] == 1.0 and m[("s2", "s1")] == 2.0
+
+
+def test_range_bucket_null_skew_and_stability(spark):
+    """_with_range_bucket invariants (round-4 determinism fix): bucket is
+    a pure row function (two evaluations agree), monotone in the order
+    value, NULL order values land in bucket 0 (their nulls-first window
+    position), and quantile boundaries keep a bursty distribution
+    balanced (no bucket hoards the burst)."""
+    from pyspark.sql import functions as F
+
+    from logdata_anomaly_miner_spark.operators.timestamps import _with_range_bucket
+
+    # bursty: 90% of rows inside a narrow band of a long span + 2 nulls
+    rows = [(float(i),) for i in range(900)] + [
+        (100000.0 + i,) for i in range(100)
+    ] + [(None,), (None,)]
+    df = spark.createDataFrame(rows, "ts double")
+    b = _with_range_bucket(df, ["ts"], 8)
+    got = b.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("n"), F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()
+    sizes = {r["_pid"]: r["n"] for r in got}
+    # nulls in bucket 0
+    nulls = b.filter(F.col("ts").isNull()).select("_pid").distinct().collect()
+    assert [r["_pid"] for r in nulls] == [0]
+    # balanced despite the burst: no bucket holds more than ~2x its share
+    assert max(sizes.values()) <= 2 * (1002 / 8) + 1
+    # monotone: bucket ranges do not overlap
+    spans = sorted(
+        (r["lo"], r["hi"]) for r in got if r["lo"] is not None
+    )
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 <= l2
+    # stable across a second evaluation of the same plan
+    again = {r["_pid"]: r["n"] for r in b.groupBy("_pid").count().withColumnRenamed("count", "n").collect()}
+    assert again == sizes

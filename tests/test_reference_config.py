@@ -348,6 +348,10 @@ def test_russellmitchell_external_modules_end_to_end(spark):
     r0 = rows[0].asDict()
     assert r0["method"] == "GET" and r0["statuscode"] == 200
     assert r0["useragent"] == "Mozilla/5.0 (X11; Linux x86_64)"
+    # the ONE client_ip leaf binds for bare-IP lines (config Analysis
+    # paths like /model/model/client_ip/client_ip depend on this column)
+    assert r0["clientip"] == 192 * 2**24 + 168 * 2**16 + 10 * 2**8 + 4
+    assert rows[1]["clientip"] == 10 * 2**24 + 7
     # audit's `time` leaf deduped to time2 (apache's model claimed `time`)
     assert rows[2]["type"] == "SYSCALL" and rows[2]["time2"] == pytest.approx(1642584724.123)
     ok = parsed.filter("_parse_ok")
