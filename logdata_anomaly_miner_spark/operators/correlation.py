@@ -106,6 +106,122 @@ def chi_square_pairs(
     )
 
 
+def match_disc_distr(p1: Sequence[float], p2: Sequence[float], threshold: float = 0.5) -> bool:
+    """VariableCorrelationDetector.pick_cor_match_disc_distr (reference
+    :1235-1245): two discrete distributions MAY correlate when their
+    sorted-descending probability profiles agree pointwise within
+    threshold / max(len)."""
+    a = sorted(p1, reverse=True)
+    b = sorted(p2, reverse=True)
+    bound = threshold / max(len(a), len(b))
+    return all(abs(x - y) <= bound for x, y in zip(a, b))
+
+
+def exclude_due_distr(p: Sequence[float], lower_limit: float = 0.4) -> bool:
+    """pick_cor_exclude_due_distr (reference :1248-1259): a variable is
+    USABLE iff no single value dominates — every probability must stay at
+    or below epsilon = lower + (1-lower)/len."""
+    eps = lower_limit + (1.0 - lower_limit) / len(p)
+    return all(v <= eps for v in p)
+
+
+def match_disc_vals(v1: Sequence, v2: Sequence, sim_thresh: float = 0.7) -> bool:
+    """pick_cor_match_disc_vals (reference :1262-1267): candidate iff the
+    shared-value count exceeds sim_thresh · min(|v1|, |v2|)."""
+    s2 = set(v2)
+    shared = sum(1 for v in v1 if v in s2)
+    return shared > sim_thresh * min(len(v1), len(v2))
+
+
+def preselect_pairs(
+    df: DataFrame,
+    cols: Sequence[str],
+    methods: Sequence[str] = ("excludeDueDistr",),
+    intersect: bool = False,
+    order_cols: Sequence[str] = ("event_id",),
+    num_init: int = 100,
+    match_disc_distr_threshold: float = 0.5,
+    exclude_due_distr_lower_limit: float = 0.4,
+    match_disc_vals_sim_tresh: float = 0.7,
+) -> list[tuple[str, str]]:
+    """VariableCorrelationDetector pair preselection (reference init_cor
+    :299-436): restrict the candidate pairs BEFORE discovery using the
+    per-variable discrete distributions of the init sample. Methods:
+    excludeDueDistr (drop dominated variables), matchDiscDistr (profile
+    match), matchDiscVals (value overlap); multiple methods combine by
+    union, or intersection with ``intersect=True`` (intersect_presel_meth).
+    The nondeterministic 'random' method is not implemented (np.random).
+
+    The per-variable distributions are one distributed aggregation over
+    the first num_init rows per variable; the collected result is bounded
+    by Σ|vocab| — driver-side predicate evaluation is the reference's own
+    shape."""
+    for m in methods:
+        if m not in ("excludeDueDistr", "matchDiscDistr", "matchDiscVals"):
+            raise ValueError(f"unknown preselection method {m!r}")
+    w = Window.partitionBy("_var").orderBy(*[F.col(c) for c in order_cols])
+    melted = (
+        df.select(
+            *order_cols,
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(c).alias("_var"), F.col(c).cast("string").alias("_val"))
+                    for c in cols
+                ])
+            ).alias("_p"),
+        )
+        .select(*order_cols, "_p._var", "_p._val")
+        .filter(F.col("_val").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= num_init)
+    )
+    rows = (
+        melted.groupBy("_var", "_val").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    dists: dict[str, dict[str, int]] = {}
+    for r in rows:
+        dists.setdefault(r["_var"], {})[r["_val"]] = r["cnt"]
+    probs = {
+        v: [c / sum(d.values()) for c in d.values()] for v, d in dists.items()
+    }
+    vals = {v: list(d.keys()) for v, d in dists.items()}
+    present = [c for c in cols if c in dists]
+
+    selected: list[tuple[str, str]] | None = None
+    for m in methods:
+        if m == "excludeDueDistr":
+            usable = [
+                c for c in present
+                if exclude_due_distr(probs[c], exclude_due_distr_lower_limit)
+            ]
+            got = [
+                (a, b)
+                for i, a in enumerate(usable)
+                for b in usable[i + 1 :]
+            ]
+        elif m == "matchDiscDistr":
+            got = [
+                (a, b)
+                for i, a in enumerate(present)
+                for b in present[i + 1 :]
+                if match_disc_distr(probs[a], probs[b], match_disc_distr_threshold)
+            ]
+        else:
+            got = [
+                (a, b)
+                for i, a in enumerate(present)
+                for b in present[i + 1 :]
+                if match_disc_vals(vals[a], vals[b], match_disc_vals_sim_tresh)
+            ]
+        if selected is None:
+            selected = got
+        elif intersect:
+            selected = [p for p in selected if p in got]
+        else:
+            selected += [p for p in got if p not in selected]
+    return selected or []
+
+
 # holds the newest persisted count cube from validate_correlation_pairs;
 # the next call unpersists it (bounded cache: at most one cube per session)
 _LAST_CUBE: list = []
@@ -122,6 +238,7 @@ def validate_correlation_pairs(
     bt_alpha: float = 0.05,
     d_alpha: float = 0.05,
     num_buckets: int | None = None,
+    pairs: Sequence[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """VariableCorrelationDetector validation phase (reference
     VariableCorrelationDetector.py:575-1300: update_or_test_cor* +
@@ -145,14 +262,20 @@ def validate_correlation_pairs(
     from logdata_anomaly_miner_spark.operators.timestamps import _with_range_bucket
     from logdata_anomaly_miner_spark.operators.var_gof import bt_min_successes
 
+    # ``pairs`` restricts to a preselected candidate set (preselect_pairs,
+    # the reference's used_presel_meth); default = all unordered pairs
+    pair_list = (
+        list(pairs)
+        if pairs is not None
+        else [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    )
     pair_structs = [
         F.struct(
             F.lit(f"{a}~{b}").alias("pair"),
             F.col(a).cast("string").alias("va"),
             F.col(b).cast("string").alias("vb"),
         )
-        for i, a in enumerate(cols)
-        for b in cols[i + 1 :]
+        for a, b in pair_list
     ]
     melted = (
         df.select(*order_cols, F.explode(F.array(*pair_structs)).alias("_p"))

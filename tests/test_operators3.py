@@ -282,3 +282,82 @@ def test_mine_time_correlations(spark):
     # (consecutive same-feature triggers are 100s apart)
     assert ("typ=fail", "typ=login") not in res
     assert ("typ=login", "typ=login") not in res
+
+
+def test_var_corr_preselection_reference_replay():
+    """Replays VariableCorrelationDetectorTest test3/test4/test5
+    (reference :94-197) against the batch predicates with the reference's
+    default thresholds (0.5 / 0.4 / 0.7)."""
+    import random
+
+    from logdata_anomaly_miner_spark.operators.correlation import (
+        exclude_due_distr,
+        match_disc_distr,
+        match_disc_vals,
+    )
+
+    # test3: matchDiscDistr
+    l1 = [1.0 / 10] * 10
+    assert match_disc_distr(l1, [1.0 / 14] * 14)
+    assert match_disc_distr(l1, [1.0 / 7] * 7)
+    assert not match_disc_distr(l1, [1.0 / 30] * 30)
+    assert not match_disc_distr(l1, [0.2] + [0.8 / 9] * 9)
+    shuffled = [0.3] * 2 + [0.4 / 3] * 3
+    random.Random(0).shuffle(shuffled)
+    assert match_disc_distr(shuffled, [1.0 / 5] * 5)
+
+    # test4: excludeDueDistr
+    assert exclude_due_distr([0.1] * 10)
+    assert exclude_due_distr([0.3] + [0.078] * 9)
+    assert not exclude_due_distr([0.5] + [0.056] * 9)
+    assert exclude_due_distr([0.3] * 3 + [0.014] * 7)
+    assert exclude_due_distr([0.5] * 2)
+    assert not exclude_due_distr([0.8, 0.2])
+    assert exclude_due_distr([0.33] * 3)
+    assert not exclude_due_distr([0.7] + [0.15] * 2)
+    assert exclude_due_distr([0.25] * 4)
+    assert not exclude_due_distr([0.58] + [0.14] * 3)
+
+    # test5: matchDiscVals
+    s1 = [i * 0.1 for i in range(10)]
+    assert match_disc_vals(s1, [i * 0.2 for i in range(7)])
+    assert not match_disc_vals(s1, [i * 0.3 for i in range(7)])
+    s1 = [float(bytes(str(i * 0.1), "utf-8")) for i in range(58)]
+    assert match_disc_vals(s1, [float(bytes(str(i * 0.2), "utf-8")) for i in range(41)])
+    assert not match_disc_vals(s1, [float(bytes(str(i * 0.2), "utf-8")) for i in range(42)])
+
+
+def test_preselect_pairs_end_to_end(spark):
+    """preselect_pairs over a DataFrame: a dominated variable (one hot
+    value) is excluded by excludeDueDistr; matchDiscVals pairs the two
+    columns sharing a vocabulary; union/intersection combine methods
+    (reference init_cor :341-436)."""
+    from pyspark.sql import functions as F
+
+    from logdata_anomaly_miner_spark.operators.correlation import (
+        preselect_pairs,
+        validate_correlation_pairs,
+    )
+
+    rows = [
+        (i, str(i % 10), str(i % 10), "hot" if i % 100 else "rare", f"d{i % 7}")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, a string, b string, c string, d string")
+    # c is dominated by 'hot' (99%) -> excluded from every pair
+    got = preselect_pairs(df, ["a", "b", "c", "d"], methods=("excludeDueDistr",))
+    assert ("a", "b") in got and ("a", "d") in got and ("b", "d") in got
+    assert not any("c" in p for p in got)
+    # a and b share a vocabulary; d's differs
+    got_vals = preselect_pairs(df, ["a", "b", "c", "d"], methods=("matchDiscVals",))
+    assert ("a", "b") in got_vals
+    assert ("a", "d") not in got_vals
+    # intersection narrows to pairs both methods accept
+    both = preselect_pairs(
+        df, ["a", "b", "c", "d"],
+        methods=("excludeDueDistr", "matchDiscVals"), intersect=True,
+    )
+    assert both == [("a", "b")]
+    # the preselected pairs feed the validation phase
+    out = validate_correlation_pairs(df, ["a", "b", "c", "d"], pairs=both, num_init=50, num_update=20)
+    assert set(r["pair"] for r in out.collect()) <= {"a~b"}
