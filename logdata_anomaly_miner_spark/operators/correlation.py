@@ -222,11 +222,6 @@ def preselect_pairs(
     return selected or []
 
 
-# holds the newest persisted count cube from validate_correlation_pairs;
-# the next call unpersists it (bounded cache: at most one cube per session)
-_LAST_CUBE: list = []
-
-
 def validate_correlation_pairs(
     df: DataFrame,
     cols: Sequence[str],
@@ -321,16 +316,14 @@ def validate_correlation_pairs(
         )
         .groupBy("pair", "chunk", "va", "vb")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
+        # EAGER localCheckpoint: the cube is computed exactly once (a lazy
+        # persist lets the first action's parallel branches race-compute
+        # it before the cache lands) and its blocks are freed by the
+        # ContextCleaner on GC — no per-call cache accumulation. The
+        # construction-time job is allowlisted in the purity lint, same
+        # as the mono-id-pinning checkpoints.
+        .localCheckpoint()
     )
-    # release the PREVIOUS call's cube so repeated calls in one session
-    # hold at most one cached cube (suite.py's release convention; a
-    # localCheckpoint would be GC-cleaned but fires its broadcast-build
-    # jobs at plan construction, breaking query-fn purity)
-    prev = _LAST_CUBE.pop() if _LAST_CUBE else None
-    if prev is not None:
-        prev.unpersist()
-    _LAST_CUBE.append(cube)
     # discovery: chi² independence per pair over the init sample, grid
     # completed from the marginals (unobserved cells still contribute E)
     obs = cube.filter(F.col("chunk") == -1).drop("chunk")

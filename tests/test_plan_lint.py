@@ -114,6 +114,10 @@ CONSTRUCT_JOB_ALLOW = {
     "time_corr_features": "localCheckpoint pinning mono-id (reused)",
     "jaccard_pairs": "localCheckpoint pinning mono-id (reused)",
     "jaccard_pairs_xx": "localCheckpoint pinning mono-id (reused)",
+    # eager localCheckpoint of the (pair, chunk, combo) count cube: many
+    # plan branches consume it and a lazy persist lets the first action
+    # race-compute it; blocks are ContextCleaner-freed on GC
+    "var_corr_validate": "localCheckpoint of the count cube (reused)",
 }
 
 
