@@ -50,13 +50,53 @@ from logdata_anomaly_miner_spark.operators.value_range import (
     learn_ranges,
 )
 
-# q_suite_verdicts persists its synthesized corpus here (gitignored) so the
-# DuckDB oracle can validate the verdict counts over the SAME parquet bytes.
+# q_suite_verdicts / q_ann_ivf persist run artifacts here (gitignored) so
+# the DuckDB oracle can validate over the SAME parquet bytes. The dir is
+# NAMESPACED PER PROCESS (pid): queries() and oracle_sql() are always
+# consumed within one driver process, so the oracle's f-string resolves to
+# the same run dir the query wrote — while two concurrent runs sharing
+# this checkout (e.g. bench at sf0.1 next to the correctness gate at
+# sf0.01) can no longer clobber each other's corpus/codebook bytes.
 import os as _os
 
-SUITE_CORPUS_DIR = _os.path.join(
+_SUITE_CORPUS_ROOT = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".suite_corpus"
 )
+SUITE_CORPUS_DIR = _os.path.join(_SUITE_CORPUS_ROOT, f"run-{_os.getpid()}")
+
+
+def _reap_stale_corpus_dirs() -> None:
+    """Best-effort removal of run dirs whose owning process is gone, so
+    .suite_corpus does not accumulate across sessions."""
+    import shutil
+
+    try:
+        entries = _os.listdir(_SUITE_CORPUS_ROOT)
+    except FileNotFoundError:
+        return
+    for d in entries:
+        if not d.startswith("run-") or d == _os.path.basename(SUITE_CORPUS_DIR):
+            continue
+        try:
+            pid = int(d.split("-", 1)[1])
+            _os.kill(pid, 0)  # raises if no such process
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(_os.path.join(_SUITE_CORPUS_ROOT, d), ignore_errors=True)
+        except PermissionError:
+            pass  # live process owned by someone else
+
+
+def _require_corpus_files(*paths: str) -> None:
+    """Fail fast with a clear error if a run artifact the oracle will read
+    was not materialized (e.g. the write failed silently)."""
+    for p in paths:
+        if not _os.path.isdir(p) or not any(
+            f.endswith(".parquet") for f in _os.listdir(p)
+        ):
+            raise RuntimeError(
+                f"suite-corpus artifact missing or empty: {p} — the query "
+                "must write it before its oracle can read it"
+            )
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -499,6 +539,7 @@ def q_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen_media,
     )
 
+    _reap_stale_corpus_dirs()
     docs = gen_documents(spark, n_docs=5000, dup_rate=0.01, dangling_rate=0.05)
     media = gen_media(spark, 1000)
     # coalesce: 5000 docs in 32 shards is pure task overhead on both the
@@ -508,6 +549,9 @@ def q_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media.coalesce(1).write.mode("overwrite").parquet(
         f"{SUITE_CORPUS_DIR}/media.parquet"
+    )
+    _require_corpus_files(
+        f"{SUITE_CORPUS_DIR}/documents.parquet", f"{SUITE_CORPUS_DIR}/media.parquet"
     )
     docs = spark.read.parquet(f"{SUITE_CORPUS_DIR}/documents.parquet")
     media = spark.read.parquet(f"{SUITE_CORPUS_DIR}/media.parquet")
@@ -561,11 +605,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # train_fraction < 1 exercises the documented offline-codebook scale
     # shape: at 10^12 vectors the KMeans codebook comes from a sample (or a
     # persisted table), never a full-table training pass per query
+    _reap_stale_corpus_dirs()
     out = ivf_topk(
         spark, emb, "embedding", [float(x) for x in qvec], k=10,
         n_centroids=8, n_probe=3, train_fraction=0.2,
         codebook_out_path=f"{SUITE_CORPUS_DIR}/ivf_codebook.parquet",
     )
+    _require_corpus_files(f"{SUITE_CORPUS_DIR}/ivf_codebook.parquet")
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 

@@ -198,24 +198,14 @@ def ivf_topk(
         # persist the trained codebook: downstream assignment / probe /
         # rerank become pure functions of (vectors, codebook) that an
         # external oracle can replicate over these exact bytes — training
-        # itself stays engine-side (it is offline at scale anyway). The
-        # codebook already lives on the driver (n_centroids rows), so
-        # pyarrow writes it directly — no Spark job.
-        import os
-        import shutil
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        shutil.rmtree(codebook_out_path, ignore_errors=True)  # overwrite
-        os.makedirs(codebook_out_path, exist_ok=True)
-        pq.write_table(
-            pa.table({
-                "cell": pa.array(range(len(centers)), type=pa.int32()),
-                "c": pa.array(centers, type=pa.list_(pa.float64())),
-            }),
-            os.path.join(codebook_out_path, "part-00000.parquet"),
-        )
+        # itself stays engine-side (it is offline at scale anyway).
+        # Written through Spark (it is only n_centroids rows, one tiny
+        # job) so hdfs:// / s3a:// destinations work identically to
+        # local paths — pyarrow would silently write driver-local.
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)],
+            schema="cell int, c array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(codebook_out_path)
     q = np.array(query, dtype=np.float64)
     scores = [
         float(np.dot(q, np.array(c)) - 0.5 * float(np.dot(np.array(c), np.array(c))))

@@ -155,11 +155,18 @@ def preselect_pairs(
     The per-variable distributions are one distributed aggregation over
     the first num_init rows per variable; the collected result is bounded
     by Σ|vocab| — driver-side predicate evaluation is the reference's own
-    shape."""
+    shape. The "first num_init per variable" prefix uses the same
+    two-phase range-bucket pattern as timestamps._with_range_bucket (no
+    whole-stream window): per-(var, bucket) counts reduce to a tiny
+    summary, the driver derives each bucket's carry-in (bounded
+    |vars|·|buckets| rows), buckets entirely past the cutoff are pruned,
+    and row_number runs per (var, bucket) — so no task ever sorts a whole
+    variable's stream."""
+    from logdata_anomaly_miner_spark.operators.timestamps import _with_range_bucket
+
     for m in methods:
         if m not in ("excludeDueDistr", "matchDiscDistr", "matchDiscVals"):
             raise ValueError(f"unknown preselection method {m!r}")
-    w = Window.partitionBy("_var").orderBy(*[F.col(c) for c in order_cols])
     melted = (
         df.select(
             *order_cols,
@@ -172,7 +179,29 @@ def preselect_pairs(
         )
         .select(*order_cols, "_p._var", "_p._val")
         .filter(F.col("_val").isNotNull())
-        .withColumn("_rn", F.row_number().over(w))
+    )
+    d = _with_range_bucket(melted, order_cols, None)
+    bucket_counts = d.groupBy("_var", "_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    # carry-in per (var, bucket) = rows of that var in earlier buckets;
+    # buckets whose carry already reaches num_init cannot contribute
+    per_var: dict[str, list[tuple[int, int]]] = {}
+    for r in bucket_counts:
+        per_var.setdefault(r["_var"], []).append((r["_pid"], r["_n"]))
+    carry_rows = []
+    for var, pcs in per_var.items():
+        acc = 0
+        for pid, n in sorted(pcs):
+            if acc < num_init:
+                carry_rows.append((var, pid, acc))
+            acc += n
+    spark = df.sparkSession
+    carry_df = spark.createDataFrame(
+        carry_rows, schema="_var string, _pid int, _carry long"
+    )
+    w = Window.partitionBy("_var", "_pid").orderBy(*[F.col(c) for c in order_cols])
+    melted = (
+        d.join(F.broadcast(carry_df), ["_var", "_pid"])  # inner: prunes past-cutoff buckets
+        .withColumn("_rn", F.row_number().over(w) + F.col("_carry"))
         .filter(F.col("_rn") <= num_init)
     )
     rows = (
@@ -540,15 +569,18 @@ def implication_within(
     reference's CorrelationRule check, expressed as a range join + anti-semi.
     At scale the range join benefits from bucketing ts (AQE handles skew)."""
     ts = F.col(ts_col).cast("double")
+    # explicit aliases: a[k] == b[k] on two frames derived from the same df
+    # resolves both sides to the SAME attribute pre-analysis (Spark warns
+    # "trivially true equals predicate"); qualified names are unambiguous
     a = df.filter(antecedent).select(
         *key_cols, ts.alias("ta"), *[c for c in df.columns if c not in key_cols and c != ts_col]
-    )
-    b = df.filter(consequent).select(*key_cols, ts.alias("tb"))
+    ).alias("_ant")
+    b = df.filter(consequent).select(*key_cols, ts.alias("tb")).alias("_con")
     cond = (F.col("tb") >= F.col("ta") + F.lit(min_dt)) & (
         F.col("tb") <= F.col("ta") + F.lit(max_dt)
     )
     for k in key_cols:
-        cond = cond & (a[k] == b[k])
+        cond = cond & (F.col(f"_ant.{k}") == F.col(f"_con.{k}"))
     return a.join(b, cond, "left_anti")
 
 

@@ -55,11 +55,20 @@ def _with_range_bucket(
     )
     c0 = order_cols[0]
     dtype = dict(df.dtypes).get(c0, "")
-    if dtype not in ("tinyint", "smallint", "int", "bigint", "float", "double") and not dtype.startswith("decimal"):
+    if dtype in ("timestamp", "timestamp_ntz", "date"):
+        # orderable but not arithmetic: casting to double yields fractional
+        # epoch seconds (microsecond precision), preserving the sort order
+        # exactly, so the bucket boundaries stay order-consistent
+        v = F.col(c0).cast("timestamp").cast("double")
+    elif dtype in (
+        "tinyint", "smallint", "int", "bigint", "float", "double"
+    ) or dtype.startswith("decimal"):
+        v = F.col(c0).cast("double")
+    else:
         raise TypeError(
-            f"range bucketing needs a numeric leading order column; got {c0}:{dtype}"
+            "range bucketing needs a numeric/timestamp/date leading order "
+            f"column; got {c0}:{dtype}"
         )
-    v = F.col(c0).cast("double")
     probs = F.array(*[F.lit(i / nb) for i in range(1, nb)])
     mm = df.agg(F.percentile_approx(v, probs, F.lit(10_000)).alias("_bnds"))
     bucket = F.coalesce(

@@ -981,8 +981,11 @@ def load_reference_config(
             base = _sanitize(str(nm))
             k = used_names.get(base, 0) + 1
             used_names[base] = k
-            if k > 1:
-                entry = {**entry, "name": f"{base}{k}"}
+            if k > 1 or base != str(nm):
+                # dedup key and emitted name are BOTH the sanitized base, so
+                # two raw names that sanitize identically cannot collide in
+                # the compiled regex's group namespace
+                entry = {**entry, "name": base if k == 1 else f"{base}{k}"}
         if module_registry is None:
             from logdata_anomaly_miner_spark.plans.parser_modules import (
                 MODULE_REGISTRY as module_registry,  # noqa: N811
@@ -994,10 +997,14 @@ def load_reference_config(
             # used_names table as YAML-defined names so shared leaves
             # (e.g. `time` across modules) never collide in the one regex
             def mk(leaf: str, _used=used_names) -> str:
+                # key AND return the sanitized base (identical for already-
+                # valid leaves): returning the raw leaf for the first
+                # occurrence could emit an invalid regex group name, or
+                # collide with a later leaf that sanitizes to the same base
                 b = _sanitize(str(leaf))
                 j = _used.get(b, 0) + 1
                 _used[b] = j
-                return str(leaf) if j == 1 else f"{b}{j}"
+                return b if j == 1 else f"{b}{j}"
 
             try:
                 elements[entry["id"]] = module_registry[t](

@@ -223,3 +223,23 @@ def test_range_bucket_null_skew_and_stability(spark):
     # stable across a second evaluation of the same plan
     again = {r["_pid"]: r["n"] for r in b.groupBy("_pid").count().withColumnRenamed("count", "n").collect()}
     assert again == sizes
+
+
+def test_range_bucket_timestamp_order_col(spark):
+    """Round-5 (ADVICE): a timestamp/date leading order column is accepted
+    by the two-phase prefix scan — cast to fractional epoch seconds, order
+    preserved — so find_unsorted/monotonic_adjust work on raw event-time
+    columns without a caller-side epoch conversion."""
+    rows = [(1, T0 + 10.0), (2, T0 + 20.0), (3, T0 + 15.0), (4, T0 + 30.0)]
+    df = (
+        spark.createDataFrame(rows, "event_id long, ts double")
+        # ingest order expressed as an ARRIVAL timestamp, not a sequence int
+        .withColumn("t", F.timestamp_seconds(F.lit(T0) + F.col("event_id")))
+    )
+    bad = unsorted_timestamps(df, ts_col="ts", order_cols=["t"], num_buckets=3)
+    assert [r["event_id"] for r in bad.collect()] == [3]
+    # unsupported type still fails fast with a clear message
+    with pytest.raises(TypeError, match="order"):
+        unsorted_timestamps(
+            df.withColumn("s", F.lit("x")), ts_col="ts", order_cols=["s"]
+        ).collect()

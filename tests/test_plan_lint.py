@@ -157,3 +157,22 @@ def test_registered_plan_is_scale_shaped(spark, name):
     nb = nonscalar_bnlj(plan)
     if name not in BNLJ_ALLOW:
         assert not nb, f"{name}: non-scalar BroadcastNestedLoopJoin: {nb}"
+
+
+def test_no_trivially_true_join_predicates(spark, capfd):
+    """Round-5 (VERDICT #6): constructing any registered plan must not log
+    Spark's "Constructing trivially true equals predicate" warning — it
+    means a self-join condition compares a column to ITSELF (both sides
+    resolved to one attribute), i.e. the predicate the author wrote is not
+    the one Catalyst will run. The JVM is a child of this process, so its
+    stderr is visible to capfd; the warning fires at Column construction
+    time, so building the plans (no execution) is sufficient."""
+    capfd.readouterr()  # drain anything earlier
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_DIR)
+        df._jdf.queryExecution().executedPlan()  # force full analysis
+    err = capfd.readouterr().err
+    assert "trivially true" not in err, (
+        "a registered query constructs a self-equal join predicate:\n"
+        + "\n".join(l for l in err.splitlines() if "trivially true" in l)
+    )
