@@ -1,0 +1,237 @@
+"""End-to-end demo pipeline parity (round-5 VERDICT item 1).
+
+The golden stream in tests/golden/demo_e2e/reference_stream.txt was emitted
+by the REFERENCE itself (ernstleierzopf/logdata-anomaly-miner), driven fully
+in-process by scripts/capture_demo_golden.py over the deterministic corpus
+tests/golden/demo_e2e/corpus.log with the pipeline defined by
+tests/golden/demo_e2e/ref_config.py (the reference's own config API, shaped
+after aecid-testsuite/integration/config.py:80-140):
+
+    SimpleUnparsedAtomHandler -> TimestampsUnsortedDetector ->
+    NewMatchPathDetector -> NewMatchPathValueDetector ->
+    NewMatchPathValueComboDetector
+
+over the integration test's DiskUpgrade/HomePath parser model, with
+default_timestamp_path '/model/DiskUpgrade/DTM' and time.time() frozen so
+timestamp-less atoms are deterministic.
+
+This test replays the SAME pipeline on the Spark engine — reader, regex
+parser compilation, first-occurrence novelty operators, two-phase unsorted-
+timestamp scan — renders each event in the reference StreamPrinter format
+(aminer/events/EventData.py:49-78), and byte-compares the concatenated
+stream.
+
+ORDERING RULE (documented, deterministic on both sides): events sort by
+(atom ingest order, handler registration order). The reference emits events
+per atom as the SubhandlerFilter walks its handler list, which is exactly
+this order; Spark's set-oriented results are sorted back into it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from logdata_anomaly_miner_spark import parsing as P
+from logdata_anomaly_miner_spark.operators.new_value import check_new_values, first_occurrences
+from logdata_anomaly_miner_spark.operators.timestamps import unsorted_timestamps
+from logdata_anomaly_miner_spark.sources.readers import read_text_lines
+
+E2E = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden", "demo_e2e")
+FROZEN = 1710504060.0  # must equal scripts/capture_demo_golden.py FROZEN_TIME
+
+DU_PATHS = [
+    "/model/DiskUpgrade", "/model/DiskUpgrade/DTM", "/model/DiskUpgrade/UNameSpace1",
+    "/model/DiskUpgrade/UName", "/model/DiskUpgrade/UNameSpace2",
+    "/model/DiskUpgrade/User", "/model/DiskUpgrade/HDRepair",
+]
+HP_PATHS = [
+    "/model/HomePath", "/model/HomePath/Pwd", "/model/HomePath/Username",
+    "/model/HomePath/Is", "/model/HomePath/Path",
+]
+
+
+def _model() -> P.Element:
+    """The fixture parser model, expressed in THIS package's combinators
+    (anchored: the reference matches from position 0 and AnyByte consumes
+    to end of line)."""
+    return P.seq(
+        P.Element("^"),
+        P.first_match(
+            P.seq(
+                P.datetime_el(
+                    "DTM", "yyyy-MM-dd HH:mm:ss",
+                    r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}",
+                ),
+                P.fixed(" "),
+                P.delimited("UName", " ", consume_delimiter=False),
+                P.fixed(" "),
+                P.delimited("User", " ", consume_delimiter=False),
+                P.fixed(" System rebooted for hard disk upgrade"),
+            ),
+            P.seq(
+                P.fixed("The Path of the home directory shown by pwd of the user "),
+                P.delimited("Username", " ", consume_delimiter=False),
+                P.fixed(" is: "),
+                P.any_bytes("Path"),
+            ),
+        ),
+        P.Element("$"),
+    )
+
+
+def _fmt(col):
+    return F.from_unixtime(col.cast("long"), "yyyy-MM-dd HH:mm:ss")
+
+
+def _match_dict_block(indent_first: bool):
+    """The reference's match-dictionary rendering for whichever branch
+    matched: '  /path: <matched string>' per path, in model order. The DTM
+    value renders as the parsed epoch int (its match_object)."""
+    lead = "  " if indent_first else ""
+    du = F.concat(
+        F.lit(f"{lead}/model/DiskUpgrade: "), F.col("raw"),
+        F.lit("\n  /model/DiskUpgrade/DTM: "),
+        F.unix_timestamp("DTM").cast("string"),
+        F.lit("\n  /model/DiskUpgrade/UNameSpace1:  "),
+        F.lit("\n  /model/DiskUpgrade/UName: "), F.col("UName"),
+        F.lit("\n  /model/DiskUpgrade/UNameSpace2:  "),
+        F.lit("\n  /model/DiskUpgrade/User: "), F.col("User"),
+        F.lit("\n  /model/DiskUpgrade/HDRepair:  System rebooted for hard disk upgrade"),
+    )
+    hp = F.concat(
+        F.lit(f"{lead}/model/HomePath: "), F.col("raw"),
+        F.lit("\n  /model/HomePath/Pwd: The Path of the home directory shown by pwd of the user "),
+        F.lit("\n  /model/HomePath/Username: "), F.col("Username"),
+        F.lit("\n  /model/HomePath/Is:  is: "),
+        F.lit("\n  /model/HomePath/Path: "), F.col("Path"),
+    )
+    return F.when(F.col("DTM").isNotNull(), du).otherwise(hp)
+
+
+def _spark_event_stream(spark) -> str:
+    lines = read_text_lines(spark, os.path.join(E2E, "corpus.log"))
+    parsed = P.parse(lines, "raw", _model())
+    # atom time: the default_timestamp_path when parsed, frozen wall clock
+    # otherwise (exactly the capture harness's atomizer behavior)
+    parsed = parsed.withColumn(
+        "atom_ts",
+        F.coalesce(F.unix_timestamp("DTM").cast("double"), F.lit(FROZEN)),
+    ).localCheckpoint()  # tiny fixture; pins ingest_order for the self-joins
+
+    ok = parsed.filter(F.col("_parse_ok"))
+
+    # rank 0: SimpleUnparsedAtomHandler (stop_when_handled=True — unparsed
+    # atoms never reach the detectors below)
+    unparsed = parsed.filter(~F.col("_parse_ok")).select(
+        "ingest_order", F.lit(0).alias("rank"),
+        F.concat(
+            _fmt(F.lit(FROZEN)),
+            F.lit(' Unparsed atom received\nSimpleUnparsedAtomHandler: "UnparsedHandler" (1 lines)\n  '),
+            F.col("raw"), F.lit("\n\n"),
+        ).alias("text"),
+    )
+
+    # rank 1: TimestampsUnsortedDetector over PARSED atoms in ingest order
+    # (the engine's two-phase distributed prefix scan)
+    uns = unsorted_timestamps(ok, ts_col="atom_ts", order_cols=["ingest_order"], num_buckets=4)
+    unsorted = uns.select(
+        "ingest_order", F.lit(1).alias("rank"),
+        F.concat(
+            _fmt(F.col("atom_ts")), F.lit(" Timestamp "), _fmt(F.col("atom_ts")),
+            F.lit(" below "), _fmt(F.col("prev_ts")),
+            F.lit('\nTimestampsUnsortedDetector: "Unsorted" (1 lines)\n'),
+            _match_dict_block(indent_first=True),
+            F.lit("\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+        ).alias("text"),
+    )
+
+    # rank 2: NewMatchPathDetector — first atom introducing each path; the
+    # event lists the atom's whole match dict + the repr of its new paths
+    du_arr = F.array(*[F.lit(p) for p in DU_PATHS])
+    hp_arr = F.array(*[F.lit(p) for p in HP_PATHS])
+    atom_paths = ok.select(
+        "ingest_order",
+        F.posexplode(
+            F.when(F.col("DTM").isNotNull(), du_arr).otherwise(hp_arr)
+        ).alias("pos", "path"),
+    )
+    first_per_path = first_occurrences(atom_paths, ["path"], ["ingest_order"])
+    new_paths_per_atom = (
+        first_per_path.groupBy("ingest_order")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "path"))),
+                lambda s: s["path"],
+            ).alias("new_paths")
+        )
+    )
+    newpath = new_paths_per_atom.join(ok, "ingest_order").select(
+        "ingest_order", F.lit(2).alias("rank"),
+        F.concat(
+            _fmt(F.col("atom_ts")),
+            F.lit(' New path(es) detected\nNewMatchPathDetector: "NewPath" (1 lines)\n'),
+            _match_dict_block(indent_first=True),
+            # the reference renders repr(list-of-new-paths) flush-left
+            F.lit("\n['"),
+            F.concat_ws("', '", F.col("new_paths")),
+            F.lit("']\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+        ).alias("text"),
+    )
+
+    # rank 3: NewMatchPathValueDetector on /model/HomePath/Username
+    hp = ok.filter(F.col("Username").isNotNull())
+    newvalue = check_new_values(hp, ["Username"], None, order_cols=["ingest_order"]).select(
+        "ingest_order", F.lit(3).alias("rank"),
+        F.concat(
+            _fmt(F.col("atom_ts")),
+            F.lit(' New value(s) detected\nNewMatchPathValueDetector: "NewValue" (1 lines)\n'),
+            F.lit("  {'/model/HomePath/Username': '"), F.col("Username"),
+            F.lit("'}\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+        ).alias("text"),
+    )
+
+    # rank 4: NewMatchPathValueComboDetector on (Username, Path)
+    newcombo = check_new_values(hp, ["Username", "Path"], None, order_cols=["ingest_order"]).select(
+        "ingest_order", F.lit(4).alias("rank"),
+        F.concat(
+            _fmt(F.col("atom_ts")),
+            F.lit(' New value combination(s) detected\nNewMatchPathValueComboDetector: "NewValueCombo" (1 lines)\n'),
+            F.lit("  (b'"), F.col("Username"), F.lit("', b'"), F.col("Path"),
+            F.lit("')\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+        ).alias("text"),
+    )
+
+    events = unparsed.unionByName(unsorted).unionByName(newpath).unionByName(newvalue).unionByName(newcombo)
+    rows = events.orderBy("ingest_order", "rank").collect()
+    return "".join(r["text"] for r in rows)
+
+
+def test_demo_e2e_stream_matches_reference_golden(spark):
+    with open(os.path.join(E2E, "reference_stream.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+    got = _spark_event_stream(spark)
+    assert got == want
+
+
+REFERENCE_LIB = "/root/reference/source/root/usr/lib/logdata-anomaly-miner"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_LIB), reason="reference tree not present"
+)
+def test_golden_matches_fresh_reference_capture():
+    """Drift guard: a fresh in-process run of the REFERENCE pipeline still
+    produces the committed golden bytes (subprocess so the reference import
+    tree cannot leak into this interpreter)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "capture_demo_golden.py"), "--check"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr + proc.stdout
