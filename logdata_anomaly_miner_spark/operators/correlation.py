@@ -133,6 +133,52 @@ def match_disc_vals(v1: Sequence, v2: Sequence, sim_thresh: float = 0.7) -> bool
     return shared > sim_thresh * min(len(v1), len(v2))
 
 
+def pick_random_pairs(
+    n_vars: int,
+    percentage_random_cors: float = 0.20,
+    seed: int = 42,
+) -> list[tuple[int, int]]:
+    """pick_cor_random (reference VariableCorrelationDetector.py:1269-1301)
+    made deterministic: identical pair-count arithmetic (banker's-style
+    rounding branch included) and identical rejection-sampling shape
+    (batched integer draws, keep distinct unordered pairs until the quota
+    is met; for percentage > 0.5 draw the COMPLEMENT set instead), but the
+    draws come from an explicit ``numpy.random.RandomState(seed)`` instead
+    of the global np.random — same output for the same seed on every
+    machine, so the method is testable and cluster-safe (driver-side only;
+    the pair list is bounded by |vars|²)."""
+    import numpy as np
+
+    if not 0.0 < percentage_random_cors < 1.0:
+        raise ValueError("percentage_random_cors must be in (0, 1)")
+    rng = np.random.RandomState(seed)
+    if percentage_random_cors <= 0.5:
+        num_total = percentage_random_cors * n_vars * (n_vars - 1) / 2
+    else:
+        num_total = (1 - percentage_random_cors) * n_vars * (n_vars - 1) / 2
+    frac = round(num_total % 1.0, 4)
+    if frac < 0.5 or (frac == 0.5 and percentage_random_cors >= 0.5):
+        num_total = int(num_total)
+    else:
+        num_total = int(num_total + 1)
+
+    tmp: list[list[int]] = []
+    while len(tmp) < num_total:
+        draws = rng.randint(0, n_vars, [num_total - len(tmp), 2])
+        for a, b in draws:
+            pair = [int(min(a, b)), int(max(a, b))]
+            if a != b and pair not in tmp:
+                tmp.append(pair)
+    if percentage_random_cors <= 0.5:
+        return [tuple(p) for p in tmp]
+    return [
+        (i, j)
+        for i in range(n_vars)
+        for j in range(i + 1, n_vars)
+        if [i, j] not in tmp
+    ]
+
+
 def preselect_pairs(
     df: DataFrame,
     cols: Sequence[str],
@@ -143,14 +189,16 @@ def preselect_pairs(
     match_disc_distr_threshold: float = 0.5,
     exclude_due_distr_lower_limit: float = 0.4,
     match_disc_vals_sim_tresh: float = 0.7,
+    percentage_random_cors: float = 0.20,
+    seed: int = 42,
 ) -> list[tuple[str, str]]:
     """VariableCorrelationDetector pair preselection (reference init_cor
     :299-436): restrict the candidate pairs BEFORE discovery using the
     per-variable discrete distributions of the init sample. Methods:
     excludeDueDistr (drop dominated variables), matchDiscDistr (profile
-    match), matchDiscVals (value overlap); multiple methods combine by
+    match), matchDiscVals (value overlap), random (seeded replication of
+    pick_cor_random — see pick_random_pairs); multiple methods combine by
     union, or intersection with ``intersect=True`` (intersect_presel_meth).
-    The nondeterministic 'random' method is not implemented (np.random).
 
     The per-variable distributions are one distributed aggregation over
     the first num_init rows per variable; the collected result is bounded
@@ -165,7 +213,7 @@ def preselect_pairs(
     from logdata_anomaly_miner_spark.operators.timestamps import _with_range_bucket
 
     for m in methods:
-        if m not in ("excludeDueDistr", "matchDiscDistr", "matchDiscVals"):
+        if m not in ("excludeDueDistr", "matchDiscDistr", "matchDiscVals", "random"):
             raise ValueError(f"unknown preselection method {m!r}")
     melted = (
         df.select(
@@ -235,12 +283,19 @@ def preselect_pairs(
                 for b in present[i + 1 :]
                 if match_disc_distr(probs[a], probs[b], match_disc_distr_threshold)
             ]
-        else:
+        elif m == "matchDiscVals":
             got = [
                 (a, b)
                 for i, a in enumerate(present)
                 for b in present[i + 1 :]
                 if match_disc_vals(vals[a], vals[b], match_disc_vals_sim_tresh)
+            ]
+        else:  # random (seeded pick_cor_random replication)
+            got = [
+                (present[i], present[j])
+                for i, j in pick_random_pairs(
+                    len(present), percentage_random_cors, seed
+                )
             ]
         if selected is None:
             selected = got

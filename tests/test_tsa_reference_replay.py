@@ -1,0 +1,125 @@
+"""TSAArimaDetector numeric replay of the reference unit-test scenario.
+
+Ports T/unit/analysis/TSAArimaDetectorTest.py (round-5 VERDICT item 3):
+
+- ``setUpClass``/``generate_data`` build 10,000 log atoms exactly 1 second
+  apart (``generate_data(10000, 1)``) — a constant-rate stream, one event
+  type; ``run_tad_test`` feeds them through EventTypeDetector +
+  TSAArimaDetector with defaults num_division_time_step=10,
+  num_periods_tsa_ini=15, num_results_bt=15, alpha=0.05.
+- ``test3persistence`` then asserts the persisted state is
+  ``result_list == [[1]*15]`` — i.e. after the statsmodels
+  ARIMA(10,0,0)x(0,0,0,10) initialization, EVERY one-step forecast check
+  passed (1 = within band); the rolling 15-result binomial-test window
+  ends all-ones.
+
+Replay: the same arrival stream, bucketed into 10-second windows (the
+reference's time_step = period / num_division_time_step division of a
+constant stream), must yield ZERO anomaly windows from every forecaster in
+this package's ladder — ar1 (declarative), HR-ARMA(1,1) (declarative),
+and the full ARMA(p=10, seasonal_lag=10) that mirrors the reference's
+order=(10,0,0), seasonal_order=(0,0,0,10) (tsa.py:217).
+
+HR-vs-MLE delta: the reference fits by statsmodels maximum likelihood; this
+package uses Hannan–Rissanen / OLS closed forms (tsa.py module docstring).
+On the constant-rate replay both are exact (zero residual), so the parity
+assertion is tolerance-free. The second test quantifies the estimator gap
+where it CAN differ: on a synthetic AR(1) with known phi, the OLS estimate
+must sit within ±0.08 of the truth (OLS and MLE agree asymptotically; at
+n=400 their mutual gap is O(1/n), far inside this tolerance band).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from logdata_anomaly_miner_spark.operators.tsa import (
+    ar1_forecast_bands,
+    arma_forecast_bands,
+    hr_arma_forecast_bands,
+)
+
+T0 = 1_700_000_000
+
+
+def _reference_stream_counts(spark):
+    """generate_data(10000, 1): atoms at t0+1 .. t0+10000 (1/sec), one
+    event type; reference time step = 10 s (num_division_time_step
+    division) -> (key, w, cnt) window counts."""
+    atoms = spark.range(1, 10_001).select(
+        (F.lit(T0) + F.col("id")).alias("ts"), F.lit("et0").alias("k")
+    )
+    return (
+        atoms.groupBy("k", F.floor((F.col("ts") - T0 - 1) / 10).alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def test_constant_rate_stream_all_forecasts_pass(spark):
+    counts = _reference_stream_counts(spark)
+    # sanity: the constant-rate stream gives 1000 windows of exactly 10
+    rows = counts.collect()
+    assert len(rows) == 1000 and all(r["cnt"] == 10 for r in rows)
+
+    # the reference's result_list stayed [1]*15 (no forecast miss); every
+    # rung of this package's forecaster ladder must agree: zero anomalies
+    a1 = ar1_forecast_bands(counts, ["k"], min_train=10)
+    assert a1.filter("anomaly").count() == 0
+    hr = hr_arma_forecast_bands(counts, ["k"], mode="ma", min_train=10)
+    assert hr.filter("anomaly").count() == 0
+    # mirror of the reference's order=(10,0,0), seasonal (0,0,0,10)
+    full = arma_forecast_bands(
+        counts, ["k"], p=10, q=0, seasonal_lag=10, min_train=15
+    )
+    assert full.filter("anomaly").count() == 0
+    # and the band check is not vacuous: predictions exist and are exact
+    scored = full.filter(F.col("pred").isNotNull())
+    assert scored.count() > 900
+    mx = scored.agg(F.max(F.abs(F.col("cnt") - F.col("pred")))).collect()[0][0]
+    assert mx < 1e-6
+
+
+def test_ar1_estimate_within_documented_mle_tolerance(spark):
+    """phi-hat from the declarative regr_slope fit vs the known truth of a
+    seeded AR(1): |phi_hat - phi| <= 0.08 at n=400 (the HR/OLS-vs-MLE
+    estimator gap is O(1/n), well inside; the tolerance budgets mostly
+    finite-sample noise, documented in the module docstring above)."""
+    rng = random.Random(42)
+    phi, mu, n = 0.6, 20.0, 400
+    y = [mu]
+    for _ in range(n - 1):
+        y.append(mu + phi * (y[-1] - mu) + rng.gauss(0, 1.5))
+    counts = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(y)], "k string, w long, cnt double"
+    )
+    out = ar1_forecast_bands(counts, ["k"], min_train=10)
+    # recover phi-hat = cov(y_t, y_{t-1})/var(y_{t-1}) from pred deltas:
+    # pred = icept + slope*x -> slope = d(pred)/d(x)
+    two = (
+        out.filter(F.col("pred").isNotNull())
+        .orderBy("w")
+        .select("w", "cnt", "pred")
+        .limit(500)
+        .collect()
+    )
+    # slope via two points with distinct lag values
+    by_lag = {}
+    for prev, cur in zip(two, two[1:]):
+        if cur["w"] == prev["w"] + 1:
+            by_lag[prev["cnt"]] = cur["pred"]
+    xs = sorted(by_lag)
+    x1, x2 = xs[0], xs[-1]
+    slope = (by_lag[x2] - by_lag[x1]) / (x2 - x1)
+    assert math.isfinite(slope)
+    assert abs(slope - phi) <= 0.08, f"phi_hat={slope:.4f} vs phi={phi}"
+    # an injected 12-sigma rate spike must be flagged by the same fit
+    spiked = counts.union(
+        spark.createDataFrame([("k", n, mu + 40.0)], "k string, w long, cnt double")
+    )
+    flagged = ar1_forecast_bands(spiked, ["k"], min_train=10).filter(
+        (F.col("w") == n) & F.col("anomaly")
+    )
+    assert flagged.count() == 1
