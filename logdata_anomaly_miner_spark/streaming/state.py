@@ -64,31 +64,36 @@ MISSING_OUTPUT_SCHEMA = "value string, last_seen double"
 MISSING_STATE_SCHEMA = "last_seen double"
 
 
-def _missing_value_fn(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    (value,) = key
-    if state.hasTimedOut:
-        last = state.get[0] if state.exists else float("nan")
-        state.remove()
-        yield pd.DataFrame({"value": [value], "last_seen": [last]})
-        return
-    last = state.get[0] if state.exists else 0.0
-    for pdf in pdfs:
-        if len(pdf):
-            last = max(last, float(pdf["ts"].max()))
-    state.update((last,))
-    state.setTimeoutDuration(int(60_000))
-    yield pd.DataFrame({"value": [], "last_seen": []})
+def _make_missing_value_fn(timeout_ms: int):
+    def _missing_value_fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (value,) = key
+        if state.hasTimedOut:
+            last = state.get[0] if state.exists else float("nan")
+            state.remove()
+            yield pd.DataFrame({"value": [value], "last_seen": [last]})
+            return
+        last = state.get[0] if state.exists else 0.0
+        for pdf in pdfs:
+            if len(pdf):
+                last = max(last, float(pdf["ts"].max()))
+        state.update((last,))
+        state.setTimeoutDuration(int(timeout_ms))
+        yield pd.DataFrame({"value": [], "last_seen": []})
+
+    return _missing_value_fn
 
 
 def streaming_missing_values(
-    stream: DataFrame, value_col: str = "value"
+    stream: DataFrame, value_col: str = "value", timeout_ms: int = 60_000
 ) -> DataFrame:
     """stream(value, ts) -> a row when a value goes silent past the timeout
-    (processing-time timeout ≙ the reference's realert interval)."""
+    (processing-time timeout ≙ the reference's default_interval realert,
+    MissingMatchPathValueDetector.py:25-334). ``timeout_ms`` is the
+    silence interval; each arriving batch for a key re-arms its timer."""
     return stream.groupBy(value_col).applyInPandasWithState(
-        _missing_value_fn,
+        _make_missing_value_fn(timeout_ms),
         outputStructType=MISSING_OUTPUT_SCHEMA,
         stateStructType=MISSING_STATE_SCHEMA,
         outputMode="append",
