@@ -235,3 +235,258 @@ def test_golden_matches_fresh_reference_capture():
         capture_output=True, text=True, timeout=120,
     )
     assert proc.returncode == 0, proc.stderr + proc.stdout
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 2: MatchFilter / ValueRangeDetector / CharsetDetector /
+# EnhancedNewMatchPathValueComboDetector / HistogramAnalysis
+# (golden: reference_stream2.txt from demo2_config.py over corpus2.log)
+# ---------------------------------------------------------------------------
+
+V2_PATHS = ["/model2/Val", "/model2/Val/DTM", "/model2/Val/Fix", "/model2/Val/value"]
+U2_PATHS = [
+    "/model2/User", "/model2/User/DTM", "/model2/User/Fix", "/model2/User/name",
+    "/model2/User/Sp", "/model2/User/action",
+]
+
+
+def _model2() -> P.Element:
+    return P.seq(
+        P.Element("^"),
+        P.first_match(
+            P.seq(
+                P.datetime_el("DTMv", "yyyy-MM-dd HH:mm:ss",
+                              r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"),
+                P.fixed(" VAL "),
+                P.decimal_float("value"),
+            ),
+            P.seq(
+                P.datetime_el("DTMu", "yyyy-MM-dd HH:mm:ss",
+                              r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"),
+                P.fixed(" user "),
+                P.delimited("name", " ", consume_delimiter=False),
+                P.fixed(" "),
+                P.wordlist("action", ["login", "logout"]),
+            ),
+        ),
+        P.Element("$"),
+    )
+
+
+def _spark_event_stream2(spark) -> str:
+    from logdata_anomaly_miner_spark.operators.value_range import (
+        check_value_range_sequential,
+    )
+
+    lines = read_text_lines(spark, os.path.join(E2E, "corpus2.log"))
+    parsed = P.parse(lines, "raw", _model2())
+    parsed = (
+        parsed.withColumn("epoch", F.coalesce(
+            F.unix_timestamp("DTMv"), F.unix_timestamp("DTMu")))
+        .withColumn("atom_ts", F.coalesce(F.col("epoch").cast("double"), F.lit(FROZEN)))
+        # FixedWordlistDataModelElement's match_object is the INDEX into the
+        # word list (reference FixedWordlistDataModelElement.py)
+        .withColumn("action_idx", F.when(F.col("action") == "login", 0)
+                    .when(F.col("action") == "logout", 1))
+        .localCheckpoint()
+    )
+    ok = parsed.filter(F.col("_parse_ok"))
+
+    # rank 0: SimpleUnparsedAtomHandler ("Unparsed2")
+    unparsed = parsed.filter(~F.col("_parse_ok")).select(
+        "ingest_order", F.lit(0).alias("rank"),
+        F.concat(
+            _fmt(F.lit(FROZEN)),
+            F.lit(' Unparsed atom received\nSimpleUnparsedAtomHandler: "Unparsed2" (1 lines)\n  '),
+            F.col("raw"), F.lit("\n\n"),
+        ).alias("text"),
+    )
+
+    # rank 1: NewMatchPathDetector ("NewPath2")
+    val_block = F.concat(
+        F.lit("  /model2/Val: "), F.col("raw"),
+        F.lit("\n  /model2/Val/DTM: "), F.col("epoch").cast("string"),
+        F.lit("\n  /model2/Val/Fix:  VAL "),
+        F.lit("\n  /model2/Val/value: "), F.col("value").cast("string"),
+    )
+    user_block = F.concat(
+        F.lit("  /model2/User: "), F.col("raw"),
+        F.lit("\n  /model2/User/DTM: "), F.col("epoch").cast("string"),
+        F.lit("\n  /model2/User/Fix:  user "),
+        F.lit("\n  /model2/User/name: "), F.col("name"),
+        F.lit("\n  /model2/User/Sp:  "),
+        F.lit("\n  /model2/User/action: "), F.col("action_idx").cast("string"),
+    )
+    block = F.when(F.col("DTMv").isNotNull(), val_block).otherwise(user_block)
+    v2 = F.array(*[F.lit(p) for p in V2_PATHS])
+    u2 = F.array(*[F.lit(p) for p in U2_PATHS])
+    atom_paths = ok.select(
+        "ingest_order",
+        F.posexplode(F.when(F.col("DTMv").isNotNull(), v2).otherwise(u2)).alias("pos", "path"),
+    )
+    first_per_path = first_occurrences(atom_paths, ["path"], ["ingest_order"])
+    newpath = (
+        first_per_path.groupBy("ingest_order")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "path"))), lambda s: s["path"]
+        ).alias("new_paths"))
+        .join(ok, "ingest_order")
+        .select(
+            "ingest_order", F.lit(1).alias("rank"),
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(' New path(es) detected\nNewMatchPathDetector: "NewPath2" (1 lines)\n'),
+                block,
+                F.lit("\n['"), F.concat_ws("', '", F.col("new_paths")),
+                F.lit("']\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+            ).alias("text"),
+        )
+    )
+
+    # rank 2: MatchFilter on /model2/Val/value with target_value_list=[42.0]
+    matchfilter = ok.filter(F.col("value") == 42.0).select(
+        "ingest_order", F.lit(2).alias("rank"),
+        F.concat(
+            _fmt(F.col("atom_ts")),
+            F.lit(' Log Atom Filtered\nMatchFilter: "ValFilter" (1 lines)\nOriginal log line: '),
+            F.col("raw"), F.lit("\n\n"),
+        ).alias("text"),
+    )
+
+    # rank 3: ValueRangeDetector (learn_mode, output_logline=False) — the
+    # engine's sequential prefix-range operator gives the alarm rows
+    vals = ok.filter(F.col("DTMv").isNotNull()).select(
+        F.lit("g").alias("g"), F.col("ingest_order"), F.col("atom_ts"),
+        F.col("value"), F.col("raw"),
+    )
+    viol, _learned = check_value_range_sequential(vals, ["g"], "value", ("ingest_order",))
+    valrange = viol.join(
+        vals.select("ingest_order", F.col("atom_ts").alias("_ts"), F.col("raw").alias("_raw")),
+        "ingest_order",
+    ).select(
+        "ingest_order", F.lit(3).alias("rank"),
+        F.concat(
+            _fmt(F.col("_ts")),
+            F.lit(' Value range anomaly detected\nValueRangeDetector: "ValRange" (1 lines)\n  '),
+            F.col("_raw"), F.lit("\n\n"),
+        ).alias("text"),
+    )
+
+    # rank 4: CharsetDetector (first atom initializes SILENTLY,
+    # CharsetDetector.py receive_atom tail; later atoms alert on chars whose
+    # first occurrence they are)
+    users = ok.filter(F.col("name").isNotNull())
+    first_user = users.agg(F.min("ingest_order")).collect()[0][0]
+    chars = users.select(
+        "ingest_order",
+        F.explode(F.regexp_extract_all(F.col("name"), F.lit("(?s)."), 0)).alias("ch"),
+    ).dropDuplicates(["ingest_order", "ch"])
+    first_per_char = first_occurrences(chars, ["ch"], ["ingest_order"])
+    charset = (
+        first_per_char.filter(F.col("ingest_order") != first_user)
+        .select("ingest_order").dropDuplicates()
+        .join(users, "ingest_order")
+        .select(
+            "ingest_order", F.lit(4).alias("rank"),
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(' New character(s) detected\nCharsetDetector: "NameCharset" (1 lines)\n  '),
+                F.col("raw"), F.lit("\n\n"),
+            ).alias("text"),
+        )
+    )
+
+    # rank 5: EnhancedNewMatchPathValueComboDetector — event at each combo's
+    # first occurrence; body = repr of the cumulative combo dict at event
+    # time ({(b'name', action): [first_ts, last_ts, count]} in first-seen
+    # order, EnhancedNewMatchPathValueComboDetector.py metadata semantics)
+    occ = users.select("ingest_order", "name", "action_idx", F.col("epoch").alias("ep"))
+    firsts = check_new_values(occ, ["name", "action_idx"], None, order_cols=["ingest_order"])
+    ev = firsts.select(F.col("ingest_order").alias("e_ord"))
+    stats = (
+        ev.join(occ, F.col("ingest_order") <= F.col("e_ord"))
+        .groupBy("e_ord", "name", "action_idx")
+        .agg(
+            F.min("ep").alias("first_ep"), F.max("ep").alias("last_ep"),
+            F.count(F.lit(1)).alias("cnt"), F.min("ingest_order").alias("first_ord"),
+        )
+    )
+    combo_body = (
+        stats.groupBy("e_ord")
+        .agg(F.concat_ws(", ", F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                "first_ord",
+                F.format_string(
+                    "(b'%s', %d): [%d, %d, %d]",
+                    "name", "action_idx", "first_ep", "last_ep", "cnt",
+                ).alias("s"),
+            ))),
+            lambda s: s["s"],
+        )).alias("entries"))
+    )
+    combo = combo_body.join(
+        users, combo_body["e_ord"] == users["ingest_order"]
+    ).select(
+        "ingest_order", F.lit(5).alias("rank"),
+        F.concat(
+            _fmt(F.col("atom_ts")),
+            F.lit(' New value combination(s) detected\nEnhancedNewMatchPathValueComboDetector: "UserAction" (1 lines)\n  {'),
+            F.col("entries"),
+            F.lit("}\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+        ).alias("text"),
+    )
+
+    # rank 6: HistogramAnalysis (LinearNumericBinDefinition(0, 10, 10),
+    # report_interval=20, atom-time trigger) — report fires at the first
+    # parsed atom whose time passes first_atom_time + 20 and covers the
+    # property values seen up to and including it
+    t0 = ok.agg(F.min("atom_ts")).collect()[0][0]
+    trigger = (
+        ok.filter(F.col("atom_ts") >= t0 + 20.0)
+        .orderBy("ingest_order").limit(1)
+        .select("ingest_order", "atom_ts").collect()
+    )
+    hist_rows = []
+    if trigger:
+        trig_ord, trig_ts = trigger[0]["ingest_order"], trigger[0]["atom_ts"]
+        items = vals.filter(F.col("ingest_order") <= trig_ord)
+        bins = (
+            items.groupBy(F.floor(F.col("value") / 10).alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("b")
+        ).collect()
+        total = sum(r["cnt"] for r in bins)
+        bin_lines = "".join(
+            "\n  * [%d-%d]: %d (ratio = %.2e)"
+            % (r["b"] * 10, r["b"] * 10 + 10, r["cnt"], r["cnt"] / total)
+            for r in bins
+        )
+        import datetime as _dt
+
+        def fmt(ts):
+            return _dt.datetime.fromtimestamp(ts, tz=_dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+
+        text = (
+            f"{fmt(trig_ts)} Histogram report\n"
+            f'HistogramAnalysis: "ValHist" ({3 + len(bins)} lines)\n'
+            f"  Histogram report from {fmt(t0)} till {fmt(trig_ts)}\n"
+            f'  Property "/model2/Val/value" ({total} elements):'
+            f"{bin_lines}\n\n"
+        )
+        hist_rows = [(trig_ord, 6, text)]
+    hist = spark.createDataFrame(hist_rows, "ingest_order long, rank int, text string")
+
+    events = (
+        unparsed.unionByName(newpath).unionByName(matchfilter)
+        .unionByName(valrange).unionByName(charset).unionByName(combo)
+        .unionByName(hist)
+    )
+    rows = events.orderBy("ingest_order", "rank").collect()
+    return "".join(r["text"] for r in rows)
+
+
+def test_demo2_e2e_stream_matches_reference_golden(spark):
+    with open(os.path.join(E2E, "reference_stream2.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+    got = _spark_event_stream2(spark)
+    assert got == want
