@@ -39,6 +39,7 @@ FROZEN_TIME = 1710504060.0
 PIPELINES = [
     ("ref_config.py", "corpus.log", "reference_stream.txt"),
     ("demo2_config.py", "corpus2.log", "reference_stream2.txt"),
+    ("demo3_config.py", "corpus3.log", "reference_stream3.txt"),
 ]
 
 

@@ -46,6 +46,6 @@ import sys
 a, b, c, d, e, f = map(float, sys.argv[1:7])
 print(f"lo-first speedup: {b/a:.2f}x  hi-first speedup: {c/d:.2f}x")
 print(f"efficiency (of 4x): {b/a/4:.2f} / {c/d/4:.2f}")
-print(f"cpu ceiling: {f/e:.2f}x")
+print(f"cpu ceiling: {e/f:.2f}x (cpu_ref prints seconds; lower is faster)")
 EOF
 echo "=== done $(date -u +%FT%TZ) ===" >> "$LOG"

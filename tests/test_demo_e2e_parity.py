@@ -490,3 +490,232 @@ def test_demo2_e2e_stream_matches_reference_golden(spark):
         want = fh.read()
     got = _spark_event_stream2(spark)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 3: EventSequenceDetector / MissingMatchPathValueDetector /
+# EventFrequencyDetector (incl. empty-window warnings)
+# (golden: reference_stream3.txt from demo3_config.py over corpus3.log)
+# ---------------------------------------------------------------------------
+
+A3_PATHS = [
+    "/model3/Act", "/model3/Act/DTM", "/model3/Act/Fix", "/model3/Act/sid",
+    "/model3/Act/Sp", "/model3/Act/act",
+]
+ACT_WORDS = ["open", "read", "close", "write"]
+
+
+def _model3() -> P.Element:
+    return P.seq(
+        P.Element("^"),
+        P.datetime_el("DTM3", "yyyy-MM-dd HH:mm:ss",
+                      r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"),
+        P.fixed(" id "),
+        P.delimited("sid", " ", consume_delimiter=False),
+        P.fixed(" act "),
+        P.wordlist("act", ACT_WORDS),
+        P.Element("$"),
+    )
+
+
+def _spark_event_stream3(spark) -> str:
+    from logdata_anomaly_miner_spark.operators.event_frequency import (
+        check_event_frequency,
+    )
+    from logdata_anomaly_miner_spark.operators.sequence import event_ngrams
+
+    lines = read_text_lines(spark, os.path.join(E2E, "corpus3.log"))
+    parsed = P.parse(lines, "raw", _model3())
+    parsed = (
+        parsed.withColumn("epoch", F.unix_timestamp("DTM3"))
+        .withColumn("atom_ts", F.col("epoch").cast("double"))
+        .withColumn(
+            "act_idx",
+            F.array_position(F.array(*[F.lit(w) for w in ACT_WORDS]), F.col("act")) - 1,
+        )
+        .localCheckpoint()
+    )
+    ok = parsed.filter(F.col("_parse_ok"))
+
+    # rank 1: NewMatchPathDetector ("NewPath3") — single branch
+    a3 = F.array(*[F.lit(p) for p in A3_PATHS])
+    atom_paths = ok.select("ingest_order", F.posexplode(a3).alias("pos", "path"))
+    first_per_path = first_occurrences(atom_paths, ["path"], ["ingest_order"])
+    block3 = F.concat(
+        F.lit("  /model3/Act: "), F.col("raw"),
+        F.lit("\n  /model3/Act/DTM: "), F.col("epoch").cast("string"),
+        F.lit("\n  /model3/Act/Fix:  id "),
+        F.lit("\n  /model3/Act/sid: "), F.col("sid"),
+        F.lit("\n  /model3/Act/Sp:  act "),
+        F.lit("\n  /model3/Act/act: "), F.col("act_idx").cast("string"),
+    )
+    newpath = (
+        first_per_path.groupBy("ingest_order")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "path"))), lambda s: s["path"]
+        ).alias("new_paths"))
+        .join(ok, "ingest_order")
+        .select(
+            "ingest_order", F.lit(1).alias("rank"),
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(' New path(es) detected\nNewMatchPathDetector: "NewPath3" (1 lines)\n'),
+                block3,
+                F.lit("\n['"), F.concat_ws("', '", F.col("new_paths")),
+                F.lit("']\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+            ).alias("text"),
+        )
+    )
+
+    # rank 2: EventSequenceDetector seq_len=2 — per-sid adjacency (the
+    # engine's lag n-grams), GLOBAL novelty of the value 2-gram
+    # (EventSequenceDetector.py keeps one learned `sequences` set across
+    # ids); event at the atom completing a first-ever gram
+    grams = event_ngrams(
+        ok.select("ingest_order", "sid", "act"), "act", n=2,
+        id_cols=["sid"], order_cols=["ingest_order"],
+    )
+    new_grams = first_occurrences(grams, ["g1", "g2"], ["ingest_order"])
+    seq_ev = (
+        new_grams.select("ingest_order").dropDuplicates()
+        .join(ok, "ingest_order")
+        .select(
+            "ingest_order", F.lit(2).alias("rank"),
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(' New sequence detected\nEventSequenceDetector: "ActSeq" (1 lines)\n  '),
+                F.col("raw"), F.lit("\n\n"),
+            ).alias("text"),
+        )
+    )
+
+    # rank 3: MissingMatchPathValueDetector (default_interval=15,
+    # realert_interval=1000 -> each learned sid alerts at most once).
+    # Trigger: the first atom a with a.ts > last_seen(v before a) + 15;
+    # overdue = a.ts - last_seen - 15. Per-value occurrence intervals via
+    # lead(); the alerting atom is the first atom inside the silent gap.
+    from pyspark.sql import Window as W
+
+    occ_v = ok.select("sid", "ingest_order", "atom_ts")
+    wv = W.partitionBy("sid").orderBy("ingest_order")
+    gaps = (
+        occ_v.withColumn("next_ts", F.lead("atom_ts").over(wv))
+        .withColumn("deadline", F.col("atom_ts") + 15.0)
+        .filter(F.col("next_ts").isNull() | (F.col("next_ts") > F.col("deadline")))
+        .select(F.col("sid").alias("v"), F.col("atom_ts").alias("last_ts"),
+                "deadline", F.col("next_ts"))
+    )
+    atoms = ok.select(F.col("ingest_order").alias("a_ord"), F.col("atom_ts").alias("a_ts"))
+    trig = (
+        gaps.join(
+            atoms,
+            (F.col("a_ts") > F.col("deadline"))
+            & (F.col("next_ts").isNull() | (F.col("a_ts") <= F.col("next_ts"))),
+        )
+        .groupBy("v")
+        # alert-once: the FIRST qualifying (gap, atom) per value
+        .agg(F.min(F.struct("a_ord", "a_ts", "last_ts")).alias("t"))
+        .select("v", F.col("t.a_ord").alias("a_ord"),
+                (F.col("t.a_ts") - F.col("t.last_ts") - 15).cast("long").alias("overdue"))
+    )
+    missing_ev = (
+        trig.groupBy("a_ord")
+        .agg(F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list(F.struct("v", "overdue"))),
+            lambda s: F.concat(
+                F.lit("  ['/model3/Act/sid']: \"['"), s["v"],
+                F.lit("']\" overdue "), s["overdue"].cast("string"),
+                F.lit("s (interval 15)\n"),
+            ),
+        )).alias("body"))
+        .join(ok, F.col("a_ord") == F.col("ingest_order"))
+        .select(
+            "ingest_order", F.lit(3).alias("rank"),
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(' Interval too large between values\nMissingMatchPathValueDetector: "MissingSid" (1 lines)\n'),
+                # message_part is joined then .strip()ped by the reference
+                F.regexp_replace(F.col("body"), "\\n$", ""),
+                F.lit("\n\n"),
+            ).alias("text"),
+        )
+    )
+
+    # rank 4: EventFrequencyDetector (window 10 s, cf 0.5) — the engine's
+    # full band check gives the anomalous windows; empty-window warnings
+    # are the zero-count closed windows, reported at the first atom past
+    # each empty run
+    freq_v = check_event_frequency(
+        ok.select(F.lit("e").alias("k"), F.col("atom_ts").alias("ts")),
+        ["k"], window_size=10.0, num_windows=50, confidence_factor=0.5,
+    )
+    t0 = ok.agg(F.min("atom_ts")).collect()[0][0]
+    viol_ws = [r["w"] for r in freq_v.select("w").collect()]
+    # counts per dense window for the empty-run scan (tiny, driver-side)
+    from logdata_anomaly_miner_spark.operators.event_frequency import (
+        anchored_window_counts,
+        densify_counts,
+    )
+    cnts = {
+        r["w"]: r["cnt"]
+        for r in densify_counts(
+            anchored_window_counts(
+                ok.select(F.lit("e").alias("k"), F.col("atom_ts").alias("ts")),
+                ["k"], 10.0,
+            ), ["k"],
+        ).collect()
+    }
+    atoms_rows = sorted(
+        (r["ingest_order"], r["atom_ts"], r["raw"])
+        for r in ok.select("ingest_order", "atom_ts", "raw").collect()
+    )
+    freq_rows = []
+    w_last = max(cnts)
+    # empty-window warnings: one event per maximal empty run, at the first
+    # atom whose time passes the run (EventFrequencyDetector.py:193-201)
+    w = 0
+    while w < w_last:
+        if cnts.get(w, 0) == 0:
+            run_end = w
+            while run_end + 1 < w_last and cnts.get(run_end + 1, 0) == 0:
+                run_end += 1
+            trigger = next(
+                (a for a in atoms_rows if a[1] >= t0 + (run_end + 1) * 10.0), None
+            )
+            if trigger:
+                freq_rows.append((trigger[0], 4, (
+                    f"{_pyfmt(trigger[1])} No log events received in time window\n"
+                    f'EventFrequencyDetector: "ActFreq" (1 lines)\n\n'
+                )))
+            w = run_end + 1
+        else:
+            w += 1
+    # frequency anomalies: event carried by the last atom seen at check
+    # time (the reference passes last_seen_log[ev])
+    for wv_ in viol_ws:
+        closing = next(a for a in atoms_rows if a[1] >= t0 + (wv_ + 1) * 10.0)
+        last_seen = max(a for a in atoms_rows if a[0] <= closing[0])
+        freq_rows.append((closing[0], 5, (
+            f"{_pyfmt(last_seen[1])} Frequency anomaly detected\n"
+            f'EventFrequencyDetector: "ActFreq" (1 lines)\n  {last_seen[2]}\n\n'
+        )))
+    freq_ev = spark.createDataFrame(
+        freq_rows, "ingest_order long, rank int, text string"
+    ) if freq_rows else spark.createDataFrame([], "ingest_order long, rank int, text string")
+
+    events = newpath.unionByName(seq_ev).unionByName(missing_ev).unionByName(freq_ev)
+    rows = events.orderBy("ingest_order", "rank").collect()
+    return "".join(r["text"] for r in rows)
+
+
+def _pyfmt(ts: float) -> str:
+    import datetime as _dt
+
+    return _dt.datetime.fromtimestamp(ts, tz=_dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def test_demo3_e2e_stream_matches_reference_golden(spark):
+    with open(os.path.join(E2E, "reference_stream3.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+    got = _spark_event_stream3(spark)
+    assert got == want
