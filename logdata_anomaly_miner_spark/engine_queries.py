@@ -2116,11 +2116,15 @@ b AS (SELECT event_type, w, wm, cnt,
       FROM sp
       WINDOW win AS (PARTITION BY event_type ORDER BY w
                      ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
-f AS (SELECT *, CASE WHEN n_hist <= 1 THEN mean * (1 - 0.51) ELSE std END AS s FROM b)
+f AS (SELECT *, CASE WHEN n_hist <= 1 THEN mean * (1 - 0.51) ELSE std END AS s FROM b),
+-- skipped-window rule (reference reset_counter :340-348): a window with no
+-- atoms of ANY event type is never band-checked, only appended to history
+act AS (SELECT w FROM sp GROUP BY w HAVING sum(cnt) > 0)
 SELECT event_type, w, cnt,
        round(mean - s/0.51, 6) AS lower, round(mean + s/0.51, 6) AS upper
 FROM f
-WHERE w < wm AND n_hist >= 1 AND (cnt < mean - s/0.51 OR cnt > mean + s/0.51)
+WHERE w < wm AND n_hist >= 1 AND w IN (SELECT w FROM act)
+  AND (cnt < mean - s/0.51 OR cnt > mean + s/0.51)
 """,
     "freq_unique": """
 WITH t0 AS (SELECT min(epoch_us(ts)/1000000.0) AS t0 FROM events),

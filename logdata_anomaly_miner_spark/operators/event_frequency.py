@@ -161,6 +161,21 @@ def check_event_frequency(
     # checked against the fixed [lower, upper].
     if set_lower_limit is None or set_upper_limit is None:
         checked = checked.filter(F.col("n_hist") >= 1)
+    # SKIPPED-WINDOW RULE (reference :186-201 + reset_counter :340-348):
+    # counts[-1] at a completion check is always a window in which at least
+    # one atom arrived (the atom that closed it bumped next_check_time past
+    # it or a later atom skipped over it, appending a bare zero). A window
+    # with zero GLOBAL activity therefore only ever enters the history —
+    # it is never itself band-checked (empty_window_warnings covers it).
+    # A key idle in a window that OTHER keys kept active IS still checked
+    # at 0. Caught by the demo3 end-to-end golden replay (round 5).
+    active_w = (
+        banded.groupBy("w")
+        .agg(F.sum("cnt").alias("_g"))
+        .filter(F.col("_g") > 0)
+        .select("w")
+    )
+    checked = checked.join(F.broadcast(active_w), "w", "left_semi")
     return (
         checked.filter((F.col("cnt") < F.col("lower")) | (F.col("cnt") > F.col("upper")))
         .withColumn(
