@@ -49,8 +49,28 @@ def main() -> None:
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    # JVM/codegen warmup outside any timed segment
+    # Warmup outside any timed segment. With the suite now FIRST (round-5
+    # ordering rule), process bring-up that the 50 queries used to absorb
+    # would land inside the suite's timing — warm each path explicitly:
+    # codegen'd agg, shuffle, broadcast join, parquet scan, and the
+    # pandas-UDF python-worker pool (spawn cost is per-executor-thread).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+    warm = spark.range(2000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    warm.groupBy("k").agg(F.sum("v").alias("s")).join(
+        F.broadcast(warm.limit(7).select("k").dropDuplicates()), "k"
+    ).collect()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _wu(s):
+        return s * 2.0
+
+    warm.repartition(CPUS).select(_wu("v")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     suite_wall = None
