@@ -369,19 +369,17 @@ def empty_window_gaps(
     )
 
 
-def check_sliding_frequency(
+def sliding_counts(
     df: DataFrame,
     key_cols: Sequence[str],
     window_size: float,
-    max_occurrences: int,
     ts_col: str = "ts",
     micros_col: str | None = None,
 ) -> DataFrame:
-    """SlidingEventFrequencyDetector (:22-271): count of events per key in
-    the trailing ``window_size`` seconds exceeds ``max_occurrences``.
-    RANGE frame over event time ≙ the reference's timestamp deque.
-    rangeBetween needs integer bounds -> order by integer microseconds
-    (pass ``micros_col`` for exact source precision, else seconds*1e6)."""
+    """Per-row trailing-window occurrence count (``sliding_cnt``): RANGE
+    frame over event time ≙ the reference's timestamp deque
+    (get_current_frequency counts timestamps ≥ t − window, so the frame is
+    inclusive on both ends, which rangeBetween is)."""
     ord_col = (
         F.col(micros_col)
         if micros_col
@@ -392,7 +390,19 @@ def check_sliding_frequency(
         .orderBy(ord_col)
         .rangeBetween(-int(window_size * 1_000_000), 0)
     )
-    return (
-        df.withColumn("sliding_cnt", F.count(F.lit(1)).over(w))
-        .filter(F.col("sliding_cnt") > max_occurrences)
+    return df.withColumn("sliding_cnt", F.count(F.lit(1)).over(w))
+
+
+def check_sliding_frequency(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    window_size: float,
+    max_occurrences: int,
+    ts_col: str = "ts",
+    micros_col: str | None = None,
+) -> DataFrame:
+    """SlidingEventFrequencyDetector (:22-271): count of events per key in
+    the trailing ``window_size`` seconds exceeds ``max_occurrences``."""
+    return sliding_counts(df, key_cols, window_size, ts_col, micros_col).filter(
+        F.col("sliding_cnt") > max_occurrences
     )

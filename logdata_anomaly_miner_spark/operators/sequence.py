@@ -70,11 +70,13 @@ def transition_times(
     id_cols: Sequence[str] = (),
     ts_col: str = "ts",
     order_cols: Sequence[str] = (),
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """(id..., from_value, to_value, dt) for consecutive rows per id.
-    Pass ``order_cols`` (e.g. the ingest id) to break timestamp TIES
-    deterministically — without it, equal-ts rows make lag() order
-    engine- and retry-dependent."""
+    """(id..., from_value, to_value, dt [, keep...]) for consecutive rows
+    per id. Pass ``order_cols`` (e.g. the ingest id) to break timestamp
+    TIES deterministically — without it, equal-ts rows make lag() order
+    engine- and retry-dependent. ``keep_cols`` are carried through from
+    the ARRIVING row (the one that completes the transition)."""
     w = Window.partitionBy(*id_cols).orderBy(
         F.col(ts_col), *[F.col(c) for c in order_cols]
     )
@@ -87,6 +89,7 @@ def transition_times(
             F.col("_prev_v").alias("from_value"),
             F.col(value_col).alias("to_value"),
             (F.col(ts_col).cast("double") - F.col("_prev_t").cast("double")).alias("dt"),
+            *[F.col(c) for c in keep_cols],
         )
     )
 

@@ -40,6 +40,7 @@ PIPELINES = [
     ("ref_config.py", "corpus.log", "reference_stream.txt"),
     ("demo2_config.py", "corpus2.log", "reference_stream2.txt"),
     ("demo3_config.py", "corpus3.log", "reference_stream3.txt"),
+    ("demo4_config.py", "corpus4.log", "reference_stream4.txt"),
 ]
 
 

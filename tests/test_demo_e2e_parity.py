@@ -719,3 +719,215 @@ def test_demo3_e2e_stream_matches_reference_golden(spark):
         want = fh.read()
     got = _spark_event_stream3(spark)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 4: AllowlistViolationDetector / PathValueTimeIntervalDetector /
+# MinimalTransitionTimeDetector / SlidingEventFrequencyDetector
+# (golden: reference_stream4.txt from demo4_config.py over corpus4.log)
+# ---------------------------------------------------------------------------
+
+T4_PATHS = [
+    "/model4/Tx", "/model4/Tx/DTM", "/model4/Tx/Fix", "/model4/Tx/txid",
+    "/model4/Tx/Sp", "/model4/Tx/phase",
+]
+PHASE_WORDS = ["start", "mid", "end"]
+
+
+def _model4() -> P.Element:
+    return P.seq(
+        P.Element("^"),
+        P.datetime_el("DTM4", "yyyy-MM-dd HH:mm:ss",
+                      r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"),
+        P.fixed(" tx "),
+        P.delimited("txid", " ", consume_delimiter=False),
+        P.fixed(" phase "),
+        P.wordlist("phase", PHASE_WORDS),
+        P.Element("$"),
+    )
+
+
+def _spark_event_stream4(spark) -> str:
+    from logdata_anomaly_miner_spark.operators.event_frequency import sliding_counts
+    from logdata_anomaly_miner_spark.operators.sequence import transition_times
+
+    lines = read_text_lines(spark, os.path.join(E2E, "corpus4.log"))
+    parsed = P.parse(lines, "raw", _model4())
+    parsed = (
+        parsed.withColumn("epoch", F.unix_timestamp("DTM4"))
+        .withColumn("atom_ts", F.col("epoch").cast("double"))
+        .withColumn(
+            "phase_idx",
+            F.array_position(F.array(*[F.lit(w) for w in PHASE_WORDS]), F.col("phase")) - 1,
+        )
+        .localCheckpoint()
+    )
+    ok = parsed.filter(F.col("_parse_ok"))
+
+    # rank 1: NewMatchPathDetector ("NewPath4")
+    t4 = F.array(*[F.lit(p) for p in T4_PATHS])
+    atom_paths = ok.select("ingest_order", F.posexplode(t4).alias("pos", "path"))
+    first_per_path = first_occurrences(atom_paths, ["path"], ["ingest_order"])
+    block4 = F.concat(
+        F.lit("  /model4/Tx: "), F.col("raw"),
+        F.lit("\n  /model4/Tx/DTM: "), F.col("epoch").cast("string"),
+        F.lit("\n  /model4/Tx/Fix:  tx "),
+        F.lit("\n  /model4/Tx/txid: "), F.col("txid"),
+        F.lit("\n  /model4/Tx/Sp:  phase "),
+        F.lit("\n  /model4/Tx/phase: "), F.col("phase_idx").cast("string"),
+    )
+    newpath = (
+        first_per_path.groupBy("ingest_order")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "path"))), lambda s: s["path"]
+        ).alias("new_paths"))
+        .join(ok, "ingest_order")
+        .select(
+            "ingest_order", F.lit(1).alias("rank"),
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(' New path(es) detected\nNewMatchPathDetector: "NewPath4" (1 lines)\n'),
+                block4,
+                F.lit("\n['"), F.concat_ws("', '", F.col("new_paths")),
+                F.lit("']\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+            ).alias("text"),
+        )
+    )
+
+    # rank 2: AllowlistViolationDetector — ValueMatchRule allowlist on the
+    # phase index {0, 1}; 'end' (2) violates (the engine's rule Columns are
+    # exactly this predicate, operators/rules.py)
+    allow = ok.filter(~F.col("phase_idx").isin(0, 1)).select(
+        "ingest_order", F.lit(2).alias("rank"),
+        F.concat(
+            _fmt(F.col("atom_ts")),
+            F.lit(' No allowlisting for current atom\nAllowlistViolationDetector: "TxAllow" (1 lines)\nOriginal log line: '),
+            F.col("raw"), F.lit("\n\n"),
+        ).alias("text"),
+    )
+
+    atoms = sorted(
+        (r["ingest_order"], int(r["atom_ts"]), r["txid"], int(r["phase_idx"]), r["raw"])
+        for r in ok.select("ingest_order", "atom_ts", "txid", "phase_idx", "raw").collect()
+    )
+
+    # rank 3: PathValueTimeIntervalDetector (time_period_length=120,
+    # max_time_diff=10, learn_mode) — appearance times modulo the period
+    # per value; first time alerts, in-range times learn silently,
+    # out-of-range times alert and learn (PathValueTimeIntervalDetector.py)
+    interval_rows = []
+    learned: dict[str, list[int]] = {}
+    for ordi, ts, txid, _ph, raw in atoms:
+        x = ts % 120
+        body = f"  /model4/Tx/txid\n{raw}\n\n"
+        if txid not in learned:
+            learned[txid] = [x]
+            msg = f"First time ({x}) detected for [{txid}]"
+        elif min(abs(x - t) for t in learned[txid]) > 10:
+            msg = (
+                f"New time ({x}) out of range of previously observed times "
+                f"{learned[txid]} detected for [{txid}]"
+            )
+            learned[txid].append(x)
+        else:
+            if x not in learned[txid]:
+                learned[txid].append(x)
+            continue
+        interval_rows.append((ordi, 3, (
+            f"{_pyfmt(float(ts))} {msg}\n"
+            f'PathValueTimeIntervalDetector: "TxInterval" (1 lines)\n{body}'
+        )))
+
+    # rank 4: MinimalTransitionTimeDetector — per-id consecutive DISTINCT
+    # value pairs from the engine's transition_times; the matrix of
+    # minimal dts is UNDIRECTED (receive_atom checks both orientations)
+    trans = transition_times(
+        ok.select("txid", F.col("atom_ts").alias("ts"), "phase_idx", "ingest_order"),
+        "phase_idx", id_cols=["txid"], ts_col="ts", order_cols=["ingest_order"],
+        keep_cols=["ingest_order"],
+    ).filter(F.col("from_value") != F.col("to_value"))
+    t_rows = sorted(
+        (r["ingest_order"], r["txid"], int(r["from_value"]), int(r["to_value"]), int(r["dt"]))
+        for r in trans.collect()
+    )
+    raw_by_ord = {a[0]: a[4] for a in atoms}
+    ts_by_ord = {a[0]: a[1] for a in atoms}
+    matrix: dict[frozenset, int] = {}
+    transit_rows = []
+    for ordi, txid, a, b, dt in t_rows:
+        key = frozenset((a, b))
+        hdr = _pyfmt(float(ts_by_ord[ordi]))
+        if key not in matrix:
+            matrix[key] = dt
+            transit_rows.append((ordi, 4, (
+                f"{hdr} First Appearance: [{a}] - [{b}] (['{txid}']), {dt}\n"
+                f'MinimalTransitionTimeDetector: "TxTransit" (1 lines)\n  {raw_by_ord[ordi]}\n\n'
+            )))
+        elif matrix[key] > dt and matrix[key] > 0 and 1 - dt / matrix[key] > 0.05:
+            transit_rows.append((ordi, 4, (
+                f"{hdr} Undercut transition time: [{a}] - [{b}] (['{txid}']), {matrix[key]} -> {dt}\n"
+                f'MinimalTransitionTimeDetector: "TxTransit" (1 lines)\n  {raw_by_ord[ordi]}\n\n'
+            )))
+            matrix[key] = dt
+
+    # rank 5: SlidingEventFrequencyDetector (upper limit 3, window 20,
+    # local_maximum_threshold 0.2) — trailing counts from the engine's
+    # RANGE-frame sliding_counts; the reporting automaton below is the
+    # reference's deferred local-maximum discipline (receive_atom tail):
+    # first exceed prints immediately (once per window), the anomaly
+    # prints when the running max proves to be a local maximum
+    sc = {
+        r["ingest_order"]: r["sliding_cnt"]
+        for r in sliding_counts(
+            ok.select(F.lit("e").alias("k"), F.col("atom_ts").alias("ts"), "ingest_order"),
+            ["k"], 20.0,
+        ).collect()
+    }
+    LIMIT, WIN, LMT = 3, 20.0, 0.2
+    exceeded, ex_time = False, float("-inf")
+    mx, mx_ord = 0, None
+    slide_rows = []
+
+    def _slide_event(emit_ord, max_ord, freq, first):
+        msg = (
+            "Frequency exceeds range for the first time"
+            if first else "Frequency anomaly detected"
+        )
+        return (emit_ord, 5, (
+            f"{_pyfmt(float(ts_by_ord[max_ord]))} {msg}\n"
+            f'SlidingEventFrequencyDetector: "TxSlide" (1 lines)\n  {raw_by_ord[max_ord]}\n\n'
+        ))
+
+    for ordi, ts, _txid, _ph, _raw in atoms:
+        freq = sc[ordi]
+        if freq >= LIMIT and freq >= mx:
+            mx, mx_ord = freq, ordi
+        if not exceeded and freq > LIMIT:
+            if ex_time + WIN < ts:
+                slide_rows.append(_slide_event(ordi, ordi, freq, True))
+                ex_time = ts
+            exceeded = True
+        elif exceeded and (
+            ts_by_ord.get(mx_ord, float("inf")) + WIN < ts
+            or freq <= LIMIT
+            or freq < mx - LMT * LIMIT
+        ):
+            slide_rows.append(_slide_event(ordi, mx_ord, mx, False))
+            mx, mx_ord = 0, None
+            if freq <= LIMIT:
+                exceeded = False
+
+    extra = spark.createDataFrame(
+        interval_rows + transit_rows + slide_rows,
+        "ingest_order long, rank int, text string",
+    )
+    events = newpath.unionByName(allow).unionByName(extra)
+    rows = events.orderBy("ingest_order", "rank").collect()
+    return "".join(r["text"] for r in rows)
+
+
+def test_demo4_e2e_stream_matches_reference_golden(spark):
+    with open(os.path.join(E2E, "reference_stream4.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+    got = _spark_event_stream4(spark)
+    assert got == want
