@@ -41,6 +41,7 @@ PIPELINES = [
     ("demo2_config.py", "corpus2.log", "reference_stream2.txt"),
     ("demo3_config.py", "corpus3.log", "reference_stream3.txt"),
     ("demo4_config.py", "corpus4.log", "reference_stream4.txt"),
+    ("demo5_config.py", "corpus5.log", "reference_stream5.txt"),
 ]
 
 

@@ -931,3 +931,155 @@ def test_demo4_e2e_stream_matches_reference_golden(spark):
         want = fh.read()
     got = _spark_event_stream4(spark)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 5: JSON input axis — JsonModelElement over the json.org menu
+# document (aminerJsonInputDemo shape), json_format atomizer
+# (golden: reference_stream5.txt from demo5_config.py over corpus5.log)
+# ---------------------------------------------------------------------------
+
+MENU_SCHEMA = (
+    "menu struct<id string, value string, "
+    "popup struct<menuitem array<struct<value string, onclick string>>>>"
+)
+BTN_NAMES = ["New", "Open", "Close"]
+BTN_CLICKS = ["CreateNewDoc()", "OpenDoc()", "CloseDoc()"]
+ALPHA_RX = "^[a-zA-Z 0-9_.-]+$"
+
+
+def _spark_event_stream5(spark) -> str:
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from logdata_anomaly_miner_spark.sources.readers import parse_json_atoms
+
+    lines = read_text_lines(spark, os.path.join(E2E, "corpus5.log"))
+    schema = T.StructType.fromDDL(MENU_SCHEMA)
+    parsed = parse_json_atoms(lines, schema, "raw")
+    # JsonModelElement strictness: every key present and every leaf matched
+    # by its model element (VariableByte alphabet / wordlist membership)
+    items = F.col("parsed.menu.popup.menuitem")
+    leaf_ok = (
+        F.col("parsed.menu.id").rlike(ALPHA_RX)
+        & F.col("parsed.menu.value").rlike(ALPHA_RX)
+        & items.isNotNull()
+        & F.forall(
+            items,
+            lambda it: it["value"].isin(BTN_NAMES) & it["onclick"].isin(BTN_CLICKS),
+        )
+    )
+    parsed = parsed.withColumn(
+        "_parse_ok", F.col("_parse_ok") & F.coalesce(leaf_ok, F.lit(False))
+    ).localCheckpoint()
+    ok = parsed.filter(F.col("_parse_ok"))
+
+    # rank 0: unparsed (json-machine reject OR leaf/model mismatch)
+    unparsed = parsed.filter(~F.col("_parse_ok")).select(
+        "ingest_order", F.lit(0).alias("rank"),
+        F.concat(
+            _fmt(F.lit(FROZEN)),
+            F.lit(' Unparsed atom received\nSimpleUnparsedAtomHandler: "Unparsed5" (1 lines)\n  '),
+            F.col("raw"), F.lit("\n\n"),
+        ).alias("text"),
+    )
+
+    # rank 1: NewMatchPathDetector — per-atom path set depends on the
+    # menuitem count; indexless array paths precede scalars, indexed
+    # per-item paths follow (JsonModelElement match-dict construction)
+    base = "/model/menu/popup/menuitem"
+    n_items = F.size(items)
+    path_arr = F.concat(
+        F.array(
+            F.lit("/model"),
+            F.lit(f"{base}/value/buttonNames"),
+            F.lit(f"{base}/onclick/buttonOnclick"),
+            F.lit("/model/menu/id/id"),
+            F.lit("/model/menu/value/value"),
+        ),
+        F.flatten(F.transform(
+            F.sequence(F.lit(0), n_items - 1),
+            lambda i: F.array(
+                F.concat(F.lit(f"{base}/value/buttonNames/"), i.cast("string")),
+                F.concat(F.lit(f"{base}/onclick/buttonOnclick/"), i.cast("string")),
+            ),
+        )),
+    )
+    atom_paths = ok.select("ingest_order", F.posexplode(path_arr).alias("pos", "path"))
+    first_per_path = first_occurrences(atom_paths, ["path"], ["ingest_order"])
+    new_paths_per_atom = (
+        first_per_path.groupBy("ingest_order")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "path"))), lambda s: s["path"]
+        ).alias("new_paths"))
+    )
+    # match-dict body: /model shows the PYTHON dict repr of the document;
+    # wordlist leaves show their index; one value/onclick line per item
+    idx_of_name = F.array(*[F.lit(w) for w in BTN_NAMES])
+    idx_of_click = F.array(*[F.lit(w) for w in BTN_CLICKS])
+    item_lines = F.concat_ws("", F.transform(
+        items,
+        lambda it: F.concat(
+            F.lit(f"\n  {base}/value/buttonNames: "),
+            (F.array_position(idx_of_name, it["value"]) - 1).cast("string"),
+            F.lit(f"\n  {base}/onclick/buttonOnclick: "),
+            (F.array_position(idx_of_click, it["onclick"]) - 1).cast("string"),
+        ),
+    ))
+    newpath_df = new_paths_per_atom.join(ok, "ingest_order").select(
+        "ingest_order", "raw", "new_paths",
+        F.col("parsed.menu.id").alias("mid"), F.col("parsed.menu.value").alias("mval"),
+        item_lines.alias("ilines"),
+    ).collect()
+    newpath_rows = []
+    for r in newpath_df:
+        doc_repr = repr(_json.loads(r["raw"]))
+        newpath_rows.append((r["ingest_order"], 1, (
+            f"{_pyfmt(FROZEN)} New path(es) detected\n"
+            f'NewMatchPathDetector: "NewPath5" (1 lines)\n'
+            f"  /model: {doc_repr}\n"
+            f"  /model/menu/id/id: {r['mid']}\n"
+            f"  /model/menu/value/value: {r['mval']}"
+            f"{r['ilines']}\n"
+            + repr(list(r["new_paths"]))
+            + f"\nOriginal log line: {r['raw']}\n\n"
+        )))
+    newpath = spark.createDataFrame(
+        newpath_rows, "ingest_order long, rank int, text string"
+    )
+
+    # rank 2: NewMatchPathValueDetector on /model/menu/id/id
+    hp = ok.select("ingest_order", "raw", F.col("parsed.menu.id").alias("mid"),
+                   F.col("parsed.menu.value").alias("mval"))
+    newvalue = check_new_values(hp, ["mid"], None, order_cols=["ingest_order"]).select(
+        "ingest_order", F.lit(2).alias("rank"),
+        F.concat(
+            _fmt(F.lit(FROZEN)),
+            F.lit(' New value(s) detected\nNewMatchPathValueDetector: "MenuId" (1 lines)\n'),
+            F.lit("  {'/model/menu/id/id': '"), F.col("mid"),
+            F.lit("'}\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+        ).alias("text"),
+    )
+
+    # rank 3: NewMatchPathValueComboDetector on (id, value)
+    combo = check_new_values(hp, ["mid", "mval"], None, order_cols=["ingest_order"]).select(
+        "ingest_order", F.lit(3).alias("rank"),
+        F.concat(
+            _fmt(F.lit(FROZEN)),
+            F.lit(' New value combination(s) detected\nNewMatchPathValueComboDetector: "MenuCombo" (1 lines)\n'),
+            F.lit("  (b'"), F.col("mid"), F.lit("', b'"), F.col("mval"),
+            F.lit("')\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+        ).alias("text"),
+    )
+
+    events = unparsed.unionByName(newpath).unionByName(newvalue).unionByName(combo)
+    rows = events.orderBy("ingest_order", "rank").collect()
+    return "".join(r["text"] for r in rows)
+
+
+def test_demo5_e2e_stream_matches_reference_golden(spark):
+    with open(os.path.join(E2E, "reference_stream5.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+    got = _spark_event_stream5(spark)
+    assert got == want
