@@ -42,6 +42,7 @@ PIPELINES = [
     ("demo3_config.py", "corpus3.log", "reference_stream3.txt"),
     ("demo4_config.py", "corpus4.log", "reference_stream4.txt"),
     ("demo5_config.py", "corpus5.log", "reference_stream5.txt"),
+    ("demo6_config.py", "corpus6.log", "reference_stream6.txt"),
 ]
 
 

@@ -1083,3 +1083,231 @@ def test_demo5_e2e_stream_matches_reference_golden(spark):
         want = fh.read()
     got = _spark_event_stream5(spark)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 6: NewMatchIdValueComboDetector (cross-row assembly) /
+# EventCountClusterDetector / MatchValueAverageChangeDetector
+# (golden: reference_stream6.txt from demo6_config.py over corpus6.log)
+# ---------------------------------------------------------------------------
+
+EV_WORDS = ["login", "logout", "error"]
+
+
+def _model6() -> P.Element:
+    return P.seq(
+        P.Element("^"),
+        P.datetime_el("DTM6", "yyyy-MM-dd HH:mm:ss",
+                      r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"),
+        P.fixed(" svc "),
+        P.delimited("svc", " ", consume_delimiter=False),
+        P.first_match(
+            P.seq(P.fixed(" ev "), P.wordlist("ev", EV_WORDS)),
+            P.seq(P.fixed(" val "), P.decimal_integer("val", allow_sign=False)),
+        ),
+        P.Element("$"),
+    )
+
+
+def _spark_event_stream6(spark) -> str:
+    lines = read_text_lines(spark, os.path.join(E2E, "corpus6.log"))
+    parsed = P.parse(lines, "raw", _model6())
+    parsed = (
+        parsed.withColumn("epoch", F.unix_timestamp("DTM6"))
+        .withColumn(
+            "ev_idx",
+            F.array_position(F.array(*[F.lit(w) for w in EV_WORDS]), F.col("ev")) - 1,
+        )
+        .localCheckpoint()
+    )
+    ok = parsed.filter(F.col("_parse_ok"))
+
+    # rank 1: NewMatchPathDetector ("NewPath6") — nested kind containers
+    # render with a 4-space indent (annotate_match recursion depth)
+    a_paths = F.array(*[F.lit(p) for p in [
+        "/model6", "/model6/DTM", "/model6/Fix", "/model6/svc",
+        "/model6/kind/A", "/model6/kind/A/Sp", "/model6/kind/A/ev",
+    ]])
+    b_paths = F.array(*[F.lit(p) for p in [
+        "/model6/kind/B", "/model6/kind/B/Sp", "/model6/kind/B/val",
+    ]])
+    # NOTE: the B-shape atom shares /model6, DTM, Fix, svc with the A shape;
+    # its per-atom path set still contains them (they are just not NEW)
+    b_full = F.concat(
+        F.array(*[F.lit(p) for p in ["/model6", "/model6/DTM", "/model6/Fix", "/model6/svc"]]),
+        b_paths,
+    )
+    atom_paths = ok.select(
+        "ingest_order",
+        F.posexplode(
+            F.when(F.col("ev").isNotNull(), a_paths).otherwise(b_full)
+        ).alias("pos", "path"),
+    )
+    first_per_path = first_occurrences(atom_paths, ["path"], ["ingest_order"])
+    a_block = F.concat(
+        F.lit("  /model6: "), F.col("raw"),
+        F.lit("\n  /model6/DTM: "), F.col("epoch").cast("string"),
+        F.lit("\n  /model6/Fix:  svc "),
+        F.lit("\n  /model6/svc: "), F.col("svc"),
+        F.lit("\n  /model6/kind/A:  ev "), F.col("ev"),
+        F.lit("\n    /model6/kind/A/Sp:  ev "),
+        F.lit("\n    /model6/kind/A/ev: "), F.col("ev_idx").cast("string"),
+    )
+    b_block = F.concat(
+        F.lit("  /model6: "), F.col("raw"),
+        F.lit("\n  /model6/DTM: "), F.col("epoch").cast("string"),
+        F.lit("\n  /model6/Fix:  svc "),
+        F.lit("\n  /model6/svc: "), F.col("svc"),
+        F.lit("\n  /model6/kind/B:  val "), F.col("val").cast("string"),
+        F.lit("\n    /model6/kind/B/Sp:  val "),
+        F.lit("\n    /model6/kind/B/val: "), F.col("val").cast("string"),
+    )
+    newpath = (
+        first_per_path.groupBy("ingest_order")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "path"))), lambda s: s["path"]
+        ).alias("new_paths"))
+        .join(ok, "ingest_order")
+        .select(
+            "ingest_order", F.lit(1).alias("rank"),
+            F.concat(
+                _fmt(F.col("epoch")),
+                F.lit(' New path(es) detected\nNewMatchPathDetector: "NewPath6" (1 lines)\n'),
+                F.when(F.col("ev").isNotNull(), a_block).otherwise(b_block),
+                F.lit("\n['"), F.concat_ws("', '", F.col("new_paths")),
+                F.lit("']\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+            ).alias("text"),
+        )
+    )
+
+    atoms = sorted(
+        (r["ingest_order"], int(r["epoch"]), r["svc"],
+         None if r["ev_idx"] is None else int(r["ev_idx"]),
+         None if r["val"] is None else int(r["val"]), r["raw"])
+        for r in ok.select("ingest_order", "epoch", "svc", "ev_idx", "val", "raw").collect()
+    )
+
+    # rank 2: NewMatchIdValueComboDetector — assemble (ev, val) across rows
+    # per svc id; on completion check against the learned combo list, then
+    # DELETE the assembly (NewMatchIdValueComboDetector.py receive_atom)
+    P_EV, P_VAL = "/model6/kind/A/ev", "/model6/kind/B/val"
+    assembling: dict[str, dict] = {}
+    known: list[dict] = []
+    combo_rows = []
+    for ordi, ts, svc, ev, val, _raw in atoms:
+        d = assembling.setdefault(svc, {})
+        if ev is not None:
+            d[P_EV] = ev
+        if val is not None:
+            d[P_VAL] = val
+        if len(d) == 2:
+            if d not in known:
+                known.append(dict(d))
+                combo_rows.append((ordi, 2, (
+                    f"{_pyfmt(float(ts))} New value combination(s) detected\n"
+                    f'NewMatchIdValueComboDetector: "SvcCombo" (1 lines)\n  {d!r}\n\n'
+                )))
+            assembling[svc] = {}
+
+    # rank 3: EventCountClusterDetector — per-id anchored windows; count
+    # vector keyed by the atom's path-set shape; manhattan score vs the
+    # learned model (empty model -> score 1 -> always anomalous+learn)
+    CF, WIN = 0.33, 10.0
+
+    def _manh(known_c, cur):
+        manh = manh_max = 0.0
+        for el in set(known_c) | set(cur):
+            if el not in known_c:
+                manh += cur[el]; manh_max += cur[el]
+            elif el not in cur:
+                manh += known_c[el]; manh_max += known_c[el]
+            else:
+                manh += abs(cur[el] - known_c[el]); manh_max += max(cur[el], known_c[el])
+        return (manh / manh_max) if manh_max else 0.0
+
+    nct: dict[str, float] = {}
+    counts: dict[str, dict] = {}
+    model: dict[str, list] = {}
+    cluster_rows = []
+
+    def _detect(emit_ord, ts, svc, vec, raw):
+        scores = [_manh(k, vec) for k in model.setdefault(svc, [])]
+        if scores and min(scores) <= CF:
+            return
+        if vec not in model[svc]:
+            model[svc].append(dict(vec))
+        cluster_rows.append((emit_ord, 3, (
+            f"{_pyfmt(float(ts))} Frequency anomaly detected\n"
+            f'EventCountClusterDetector: "SvcCluster" (1 lines)\n  {raw}\n\n'
+        )))
+
+    for ordi, ts, svc, ev, _val, raw in atoms:
+        shape = "A" if ev is not None else "B"
+        if svc not in nct:
+            nct[svc] = ts + WIN
+        elif ts >= nct[svc]:
+            nct[svc] += WIN
+            if ts >= nct[svc]:
+                skipped = 1 + int((ts - nct[svc]) / WIN)
+                nct[svc] += skipped * WIN
+                _detect(ordi, ts, svc, {}, raw)  # check_empty_windows
+            _detect(ordi, ts, svc, counts.get(svc, {}), raw)
+            counts[svc] = {}
+        counts.setdefault(svc, {})
+        counts[svc][shape] = counts[svc].get(shape, 0) + 1
+
+    # rank 4: MatchValueAverageChangeDetector — delta-space bin sums with
+    # k = first value (exact float arithmetic of update/analyze)
+    first_ts = k0 = None
+    old_bin = None        # (n, sum, sum2, avg, var) in delta space
+    cur = (0, 0.0, 0.0)
+    avg_rows = []
+    for ordi, ts, _svc, _ev, val, _raw in atoms:
+        if val is not None:
+            if k0 is None:
+                first_ts, k0 = ts, val
+                cur = (1, 0.0, 0.0)
+            else:
+                dlt = val - k0
+                cur = (cur[0] + 1, cur[1] + dlt, cur[2] + dlt * dlt)
+        if k0 is None or cur[0] < 3 or ts - first_ts < 10:
+            continue
+        c_avg = cur[1] / cur[0]
+        c_var = (cur[2] - (cur[1] * cur[1]) / cur[0]) / (cur[0] - 1)
+        if old_bin is None:
+            old_bin = (cur[0], cur[1], cur[2], c_avg, c_var)
+        else:
+            changed = c_var > 2 * old_bin[4] or abs(c_avg - old_bin[3]) > 1 * old_bin[4]
+            tn = old_bin[0] + cur[0]
+            tsum = old_bin[1] + cur[1]
+            tsum2 = old_bin[2] + cur[2]
+            new_old = (tn, tsum, tsum2, tsum / tn, (tsum2 - (tsum * tsum) / tn) / (tn - 1))
+            if changed:
+                summary = (
+                    f'"{P_VAL}": Change: new: n = {cur[0]}, avg = {c_avg + k0}, '
+                    f"var = {c_var}; old: n = {old_bin[0]}, avg = {old_bin[3] + k0}, "
+                    f"var = {old_bin[4]}"
+                )
+                avg_rows.append((ordi, 4, (
+                    f"{_pyfmt(float(ts))} Statistical data report\n"
+                    f'MatchValueAverageChangeDetector: "ValAvg" ({new_old[0]} lines)\n'
+                    f"  {summary}\n\n"
+                )))
+            old_bin = new_old
+        cur = (0, 0.0, 0.0)
+        first_ts = ts
+
+    extra = spark.createDataFrame(
+        combo_rows + cluster_rows + avg_rows,
+        "ingest_order long, rank int, text string",
+    )
+    events = newpath.unionByName(extra)
+    rows = events.orderBy("ingest_order", "rank").collect()
+    return "".join(r["text"] for r in rows)
+
+
+def test_demo6_e2e_stream_matches_reference_golden(spark):
+    with open(os.path.join(E2E, "reference_stream6.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+    got = _spark_event_stream6(spark)
+    assert got == want
