@@ -43,11 +43,25 @@ PIPELINES = [
     ("demo4_config.py", "corpus4.log", "reference_stream4.txt"),
     ("demo5_config.py", "corpus5.log", "reference_stream5.txt"),
     ("demo6_config.py", "corpus6.log", "reference_stream6.txt"),
+    ("demo7_config.py", "corpus7.log", "reference_stream7.txt"),
 ]
 
 
 def capture(config_path: str, corpus_path: str) -> str:
     sys.path.insert(0, REFERENCE_LIB)
+    try:
+        import defusedxml.ElementTree  # noqa: F401
+    except ImportError:
+        # harness shim: defusedxml mirrors the stdlib ElementTree API and
+        # only adds hardening against malicious XML — our fixture corpora
+        # are trusted, so alias the stdlib for the capture run
+        import types
+        import xml.etree.ElementTree as _ET
+
+        pkg = types.ModuleType("defusedxml")
+        pkg.ElementTree = _ET
+        sys.modules["defusedxml"] = pkg
+        sys.modules["defusedxml.ElementTree"] = _ET
     import aminer.AminerConfig as AminerConfig
     from aminer.AnalysisChild import AnalysisContext
     from aminer.events.StreamPrinterEventHandler import StreamPrinterEventHandler

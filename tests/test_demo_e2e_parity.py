@@ -1311,3 +1311,89 @@ def test_demo6_e2e_stream_matches_reference_golden(spark):
         want = fh.read()
     got = _spark_event_stream6(spark)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 7: XML input axis — XmlModelElement over a note document with
+# attributes/optional keys; xml_format atomizer (whole resource = ONE atom)
+# (golden: reference_stream7.txt from demo7_config.py over corpus7.log)
+# ---------------------------------------------------------------------------
+
+XML_SCHEMA = (
+    "note struct<_id string, _opt string, to string, "
+    "`from` string, heading string, body struct<text1 string, text2 string>>"
+)
+
+
+def _spark_event_stream7(spark) -> str:
+    from pyspark.sql import types as T
+
+    from logdata_anomaly_miner_spark.sources.readers import parse_xml_atoms
+
+    # xml_format consumes the WHOLE resource as one atom -> wholetext read
+    doc = (
+        spark.read.format("text").option("wholetext", "true")
+        .load(os.path.join(E2E, "corpus7.log"))
+        .select(F.col("value").alias("raw"))
+    )
+    # from_xml maps the ROOT's children onto the schema; raw's root is
+    # <messages>, so the schema starts at its child <note>
+    schema = T.StructType.fromDDL(XML_SCHEMA)
+    parsed = parse_xml_atoms(doc, schema, "raw")
+    row = parsed.filter(F.col("_parse_ok")).select(
+        "raw",
+        F.col("parsed.note._id").cast("int").alias("nid"),
+        F.col("parsed.note._opt").alias("opt"),
+        F.col("parsed.note.to").alias("to"),
+        F.col("parsed.note.`from`").alias("frm"),
+        F.col("parsed.note.heading").alias("heading"),
+        F.col("parsed.note.body.text1").alias("t1"),
+        F.col("parsed.note.body.text2").alias("t2"),
+    ).collect()
+    assert len(row) == 1, "xml fixture must parse to exactly one atom"
+    r = row[0]
+    raw = r["raw"]
+
+    # the reference renders /model as the python dict it built from the XML
+    # (attributes '+'-prefixed, optional attribute normalized to '+opt')
+    model_dict = {"messages": [{"note": {
+        "+id": str(r["nid"]), "+opt": r["opt"], "to": r["to"], "from": r["frm"],
+        "heading": r["heading"],
+        "body": {"text1": r["t1"], "text2": r["t2"]},
+    }}]}
+    paths_vals = [
+        ("/model/messages/note/+id/id", str(r["nid"])),
+        ("/model/messages/note/_+opt/opt", r["opt"]),
+        ("/model/messages/note/to/to", r["to"]),
+        ("/model/messages/note/from/from", r["frm"]),
+        ("/model/messages/note/?heading/heading", r["heading"]),
+        ("/model/messages/note/body/text1/text1", r["t1"]),
+        ("/model/messages/note/body/text2/text2", r["t2"]),
+    ]
+    hdr = _pyfmt(FROZEN)
+    body_lines = "".join(f"\n  {p}: {v}" for p, v in paths_vals)
+    new_paths = ["/model"] + [p for p, _ in paths_vals]
+    out = (
+        f"{hdr} New path(es) detected\n"
+        f'NewMatchPathDetector: "NewPath7" (1 lines)\n'
+        f"  /model: {model_dict!r}"
+        f"{body_lines}\n"
+        f"{new_paths!r}\n"
+        f"Original log line: {raw}\n\n"
+        f"{hdr} New value(s) detected\n"
+        f'NewMatchPathValueDetector: "NoteTo" (1 lines)\n'
+        f"  {{'/model/messages/note/to/to': '{r['to']}'}}\n"
+        f"Original log line: {raw}\n\n"
+        f"{hdr} New value combination(s) detected\n"
+        f'NewMatchPathValueComboDetector: "NoteCombo" (1 lines)\n'
+        f"  (b'{r['to']}', b'{r['frm']}')\n"
+        f"Original log line: {raw}\n\n"
+    )
+    return out
+
+
+def test_demo7_e2e_stream_matches_reference_golden(spark):
+    with open(os.path.join(E2E, "reference_stream7.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+    got = _spark_event_stream7(spark)
+    assert got == want
