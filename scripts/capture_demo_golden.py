@@ -44,6 +44,7 @@ PIPELINES = [
     ("demo5_config.py", "corpus5.log", "reference_stream5.txt"),
     ("demo6_config.py", "corpus6.log", "reference_stream6.txt"),
     ("demo7_config.py", "corpus7.log", "reference_stream7.txt"),
+    ("demo8_config.py", "corpus8.log", "reference_stream8.txt"),
 ]
 
 
@@ -89,6 +90,13 @@ def capture(config_path: str, corpus_path: str) -> str:
                 if consumed <= 0:
                     raise RuntimeError(f"atomizer stalled with {len(data)} bytes left")
                 data = data[consumed:]
+            if getattr(aminer_config, "POST_DO_TIMER", False):
+                # timer-driven components (ParserCount reports) fire via the
+                # periodic do_timer interrupt in a real aminer run; replay it
+                # once after the stream with a trigger far past every timer
+                for comp in context.registered_components_by_name.values():
+                    if hasattr(comp, "do_timer"):
+                        comp.do_timer(FROZEN_TIME + 1_000_000.0)
         finally:
             time.time = real_time
         return out.getvalue()

@@ -1397,3 +1397,56 @@ def test_demo7_e2e_stream_matches_reference_golden(spark):
         want = fh.read()
     got = _spark_event_stream7(spark)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 8: ParserCount — timer-driven count report (the harness replays
+# the periodic do_timer interrupt once after the stream)
+# (golden: reference_stream8.txt from demo8_config.py over corpus8.log)
+# ---------------------------------------------------------------------------
+
+
+def _spark_event_stream8(spark) -> str:
+    lines = read_text_lines(spark, os.path.join(E2E, "corpus8.log"))
+    model = P.seq(
+        P.Element("^"),
+        P.wordlist("verb", ["login", "logout"]),
+        P.fixed(" user "),
+        P.any_bytes("name"),
+        P.Element("$"),
+    )
+    parsed = P.parse(lines, "raw", model).localCheckpoint()
+    ok = parsed.filter(F.col("_parse_ok"))
+
+    # new-path event for the first atom (single-branch model)
+    first = ok.orderBy("ingest_order").limit(1).collect()[0]
+    verb_idx = ["login", "logout"].index(first["verb"])
+    paths = ["/model8", "/model8/verb", "/model8/Sp", "/model8/name"]
+    out = (
+        f"{_pyfmt(FROZEN)} New path(es) detected\n"
+        f'NewMatchPathDetector: "NewPath8" (1 lines)\n'
+        f"  /model8: {first['raw']}\n"
+        f"  /model8/verb: {verb_idx}\n"
+        f"  /model8/Sp:  user \n"
+        f"  /model8/name: {first['name']}\n"
+        f"{paths!r}\n"
+        f"Original log line: {first['raw']}\n\n"
+    )
+    # ParserCount report: per-path non-null counts from ONE engine aggregation
+    counts = ok.agg(
+        F.count("verb").alias("verb"), F.count("name").alias("name")
+    ).collect()[0]
+    out += (
+        "Count report (1 lines)\n"
+        "  Parsed paths in the last 60 seconds:\n"
+        f"\t/model8/verb: {{'CurrentProcessedLines': {counts['verb']}, 'TotalProcessedLines': {counts['verb']}}}\n"
+        f"\t/model8/name: {{'CurrentProcessedLines': {counts['name']}, 'TotalProcessedLines': {counts['name']}}}\n\n"
+    )
+    return out
+
+
+def test_demo8_e2e_stream_matches_reference_golden(spark):
+    with open(os.path.join(E2E, "reference_stream8.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+    got = _spark_event_stream8(spark)
+    assert got == want
