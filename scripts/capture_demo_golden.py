@@ -45,6 +45,7 @@ PIPELINES = [
     ("demo6_config.py", "corpus6.log", "reference_stream6.txt"),
     ("demo7_config.py", "corpus7.log", "reference_stream7.txt"),
     ("demo8_config.py", "corpus8.log", "reference_stream8.txt"),
+    ("demo9_config.py", "corpus9.log", "reference_stream9.txt"),
 ]
 
 

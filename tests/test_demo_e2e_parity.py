@@ -468,7 +468,7 @@ def _spark_event_stream2(spark) -> str:
 
         text = (
             f"{fmt(trig_ts)} Histogram report\n"
-            f'HistogramAnalysis: "ValHist" ({3 + len(bins)} lines)\n'
+            f'HistogramAnalysis: "ValHist" ({total} lines)\n'  # line count = element count (res padding)
             f"  Histogram report from {fmt(t0)} till {fmt(trig_ts)}\n"
             f'  Property "/model2/Val/value" ({total} elements):'
             f"{bin_lines}\n\n"
@@ -1449,4 +1449,121 @@ def test_demo8_e2e_stream_matches_reference_golden(spark):
     with open(os.path.join(E2E, "reference_stream8.txt"), encoding="utf-8") as fh:
         want = fh.read()
     got = _spark_event_stream8(spark)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 9: HistogramAnalysis with ModuloTimeBinDefinition (hour-of-day
+# bins) over a branch-tailed value model. PathDependentHistogramAnalysis is
+# NOT replayed: the reference's own output is PYTHONHASHSEED-dependent
+# (HistogramAnalysis.py:~512-526 re-reads the value from the last
+# set-iteration path), so no stable golden exists.
+# (golden: reference_stream9.txt from demo9_config.py over corpus9.log)
+# ---------------------------------------------------------------------------
+
+
+def _model9() -> P.Element:
+    return P.seq(
+        P.Element("^"),
+        P.datetime_el("DTM9", "yyyy-MM-dd HH:mm:ss",
+                      r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"),
+        P.fixed(" VAL "),
+        P.decimal_float("value"),
+        P.first_match(P.fixed(" ok"), P.fixed(" err")),
+        P.Element("$"),
+    )
+
+
+def _spark_event_stream9(spark) -> str:
+    from logdata_anomaly_miner_spark.operators.histogram import modulo_time_histogram
+
+    lines = read_text_lines(spark, os.path.join(E2E, "corpus9.log"))
+    parsed = P.parse(lines, "raw", _model9())
+    parsed = (
+        parsed.withColumn("epoch", F.unix_timestamp("DTM9"))
+        .withColumn("is_ok", F.col("raw").endswith(" ok"))
+        .localCheckpoint()
+    )
+    ok = parsed.filter(F.col("_parse_ok"))
+
+    # rank 1: NewMatchPathDetector — path set differs by tail branch
+    a_paths = ["/model9", "/model9/DTM", "/model9/Fix", "/model9/value",
+               "/model9/tail/A", "/model9/tail/A/ok"]
+    b_paths = ["/model9", "/model9/DTM", "/model9/Fix", "/model9/value",
+               "/model9/tail/B", "/model9/tail/B/err"]
+    atom_paths = ok.select(
+        "ingest_order",
+        F.posexplode(
+            F.when(F.col("is_ok"),
+                   F.array(*[F.lit(p) for p in a_paths]))
+            .otherwise(F.array(*[F.lit(p) for p in b_paths]))
+        ).alias("pos", "path"),
+    )
+    first_per_path = first_occurrences(atom_paths, ["path"], ["ingest_order"])
+    tail_block = F.when(
+        F.col("is_ok"),
+        F.lit("\n  /model9/tail/A:  ok\n    /model9/tail/A/ok:  ok"),
+    ).otherwise(
+        F.lit("\n  /model9/tail/B:  err\n    /model9/tail/B/err:  err"),
+    )
+    newpath = (
+        first_per_path.groupBy("ingest_order")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "path"))), lambda s: s["path"]
+        ).alias("new_paths"))
+        .join(ok, "ingest_order")
+        .select(
+            "ingest_order", F.lit(1).alias("rank"),
+            F.concat(
+                _fmt(F.col("epoch")),
+                F.lit(' New path(es) detected\nNewMatchPathDetector: "NewPath9" (1 lines)\n'),
+                F.lit("  /model9: "), F.col("raw"),
+                F.lit("\n  /model9/DTM: "), F.col("epoch").cast("string"),
+                F.lit("\n  /model9/Fix:  VAL "),
+                F.lit("\n  /model9/value: "), F.col("value").cast("string"),
+                tail_block,
+                F.lit("\n['"), F.concat_ws("', '", F.col("new_paths")),
+                F.lit("']\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+            ).alias("text"),
+        )
+    )
+
+    # rank 2: HistogramAnalysis over /model9/DTM with ModuloTimeBinDefinition
+    # (86400, 3600, 0, 1, 24): the engine's modulo_time_histogram gives the
+    # hour bins; report fires at the first atom past t0 + 20 s
+    t0 = ok.agg(F.min("epoch")).collect()[0][0]
+    trig = (
+        ok.filter(F.col("epoch") >= t0 + 20)
+        .orderBy("ingest_order").limit(1).collect()
+    )
+    hist_rows = []
+    if trig:
+        trig_ord, trig_ts = trig[0]["ingest_order"], trig[0]["epoch"]
+        items = ok.filter(F.col("ingest_order") <= trig_ord)
+        bins = modulo_time_histogram(
+            items.select(F.col("epoch").alias("ts")), "ts"
+        ).orderBy("bin").collect()
+        total = sum(r["cnt"] for r in bins)
+        bin_lines = "".join(
+            "\n  * [%d-%d]: %d (ratio = %.2e)" % (r["bin"], r["bin"] + 1, r["cnt"], r["cnt"] / total)
+            for r in bins
+        )
+        hist_rows = [(trig_ord, 2, (
+            f"{_pyfmt(float(trig_ts))} Histogram report\n"
+            f'HistogramAnalysis: "HourHist" ({total} lines)\n'  # line count = element count (res padding)
+            f"  Histogram report from {_pyfmt(float(t0))} till {_pyfmt(float(trig_ts))}\n"
+            f'  Property "/model9/DTM" ({total} elements):'
+            f"{bin_lines}\n\n"
+        ))]
+    hist = spark.createDataFrame(hist_rows, "ingest_order long, rank int, text string")
+
+    events = newpath.unionByName(hist)
+    rows = events.orderBy("ingest_order", "rank").collect()
+    return "".join(r["text"] for r in rows)
+
+
+def test_demo9_e2e_stream_matches_reference_golden(spark):
+    with open(os.path.join(E2E, "reference_stream9.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+    got = _spark_event_stream9(spark)
     assert got == want
