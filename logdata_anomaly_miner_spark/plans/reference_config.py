@@ -580,7 +580,17 @@ def _detector_builder(
     if t in ("NewMatchPathValueDetector", "NewMatchPathValueComboDetector"):
         from logdata_anomaly_miner_spark.operators.new_value import check_new_values
 
-        return lambda df: check_new_values(df, cols, None, order_cols=[order_col])
+        # the reference skips atoms that do not carry the target paths
+        # (NewMatchPathValueDetector.py:91; the combo detector requires ALL
+        # paths unless allow_missing_values_flag) — a null target column
+        # must not surface as a learned "value"
+        def b(df: DataFrame) -> DataFrame:
+            present = df
+            for c in cols:
+                present = present.filter(F.col(c).isNotNull())
+            return check_new_values(present, cols, None, order_cols=[order_col])
+
+        return b
 
     if t == "EnhancedNewMatchPathValueComboDetector":
         from logdata_anomaly_miner_spark.operators.new_value import (

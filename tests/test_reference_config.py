@@ -357,4 +357,7 @@ def test_russellmitchell_external_modules_end_to_end(spark):
     ok = parsed.filter("_parse_ok")
     assert cfg.detectors["apache_VRD"](ok).count() >= 0
     nm = cfg.detectors["apache_NMPVD"](ok)
-    assert nm.count() == 3  # every first occurrence is new with no baseline
+    # 2, not 3: the audit line does not carry the apache target path, and
+    # the reference SKIPS such atoms (round-5 null-skip fix in
+    # _detector_builder) — the old count included a spurious all-null combo
+    assert nm.count() == 2
