@@ -46,10 +46,11 @@ PIPELINES = [
     ("demo7_config.py", "corpus7.log", "reference_stream7.txt"),
     ("demo8_config.py", "corpus8.log", "reference_stream8.txt"),
     ("demo9_config.py", "corpus9.log", "reference_stream9.txt"),
+    ("demo10_config.py", ("corpus10a.log", "corpus10b.log"), "reference_stream10.txt"),
 ]
 
 
-def capture(config_path: str, corpus_path: str) -> str:
+def capture(config_path: str, corpus_paths) -> str:
     sys.path.insert(0, REFERENCE_LIB)
     try:
         import defusedxml.ElementTree  # noqa: F401
@@ -69,45 +70,86 @@ def capture(config_path: str, corpus_path: str) -> str:
     from aminer.events.StreamPrinterEventHandler import StreamPrinterEventHandler
 
     aminer_config = AminerConfig.load_config(config_path)
-    with tempfile.TemporaryDirectory() as tmp:
-        aminer_config.config_properties["Core.PersistenceDir"] = tmp
-        context = AnalysisContext(aminer_config)
-        context.build_analysis_pipeline()
+    if isinstance(corpus_paths, str):
+        corpus_paths = [corpus_paths]
+    clock = [FROZEN_TIME]
+    real_time = time.time
+    # freeze BEFORE the pipeline builds: components that stamp time at init
+    # (e.g. SimpleMultisourceAtomSync's initial blocking window) must see
+    # the deterministic clock, not the capture host's wall time
+    time.time = lambda: clock[0]
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            aminer_config.config_properties["Core.PersistenceDir"] = tmp
+            context = AnalysisContext(aminer_config)
+            context.build_analysis_pipeline()
 
-        out = io.StringIO()
-        factory = context.atomizer_factory
-        for h in factory.event_handler_list:
-            if isinstance(h, StreamPrinterEventHandler):
-                h.stream = out
+            out = io.StringIO()
+            factory = context.atomizer_factory
+            for h in factory.event_handler_list:
+                if isinstance(h, StreamPrinterEventHandler):
+                    h.stream = out
 
-        real_time = time.time
-        time.time = lambda: FROZEN_TIME  # freeze BEFORE atoms flow
-        try:
-            atomizer = factory.get_atomizer_for_resource(b"file:///parity")
-            with open(corpus_path, "rb") as fh:
-                data = fh.read()
-            while data:
-                consumed = atomizer.consume_data(data, True)
-                if consumed <= 0:
-                    raise RuntimeError(f"atomizer stalled with {len(data)} bytes left")
-                data = data[consumed:]
+            feeds = []
+            for i, cpath in enumerate(corpus_paths):
+                with open(cpath, "rb") as fh:
+                    feeds.append([
+                        factory.get_atomizer_for_resource(
+                            f"file:///parity{i}".encode()
+                        ),
+                        fh.read(),
+                    ])
+            # round-robin the sources (the real reader loop's select());
+            # when EVERY source stalls (multisource sync blocking), advance
+            # the deterministic clock past the sync window and retry
+            stalled_rounds = 0
+            while any(f[1] for f in feeds):
+                progressed = False
+                for f in feeds:
+                    if not f[1]:
+                        continue
+                    consumed = f[0].consume_data(f[1], True)
+                    if consumed > 0:
+                        f[1] = f[1][consumed:]
+                        progressed = True
+                if progressed:
+                    stalled_rounds = 0
+                    continue
+                stalled_rounds += 1
+                clock[0] += 6.0  # > default sync_wait_time
+                if stalled_rounds > 100:
+                    left = sum(len(f[1]) for f in feeds)
+                    raise RuntimeError(f"atomizers stalled with {left} bytes left")
             if getattr(aminer_config, "POST_DO_TIMER", False):
                 # timer-driven components (ParserCount reports) fire via the
                 # periodic do_timer interrupt in a real aminer run; replay it
                 # once after the stream with a trigger far past every timer
                 for comp in context.registered_components_by_name.values():
-                    if hasattr(comp, "do_timer"):
+                    if not hasattr(comp, "do_timer"):
+                        continue
+                    try:
                         comp.do_timer(FROZEN_TIME + 1_000_000.0)
-        finally:
-            time.time = real_time
-        return out.getvalue()
+                    except Exception:
+                        # detectors whose do_timer only PERSISTS need the
+                        # aminer secure-fd machinery this harness does not
+                        # set up; persistence failures cannot affect the
+                        # event stream, which is all the golden captures
+                        pass
+            return out.getvalue()
+    finally:
+        time.time = real_time
 
 
 def main() -> int:
     check = "--check" in sys.argv
     rc = 0
     for cfg, corpus, golden in PIPELINES:
-        got = capture(os.path.join(E2E_DIR, cfg), os.path.join(E2E_DIR, corpus))
+        corpora = (
+            [os.path.join(E2E_DIR, c) for c in corpus]
+            if isinstance(corpus, tuple)
+            else os.path.join(E2E_DIR, corpus)
+        )
+        got = capture(os.path.join(E2E_DIR, cfg), corpora)
         gpath = os.path.join(E2E_DIR, golden)
         if check:
             with open(gpath, encoding="utf-8") as fh:

@@ -1567,3 +1567,60 @@ def test_demo9_e2e_stream_matches_reference_golden(spark):
         want = fh.read()
     got = _spark_event_stream9(spark)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 10: multisource time-merge axis — two resources through
+# SimpleMultisourceAtomSync; forwarded order is the merged timestamp order
+# and TimestampsUnsortedDetector stays silent on it
+# (golden: reference_stream10.txt from demo10_config.py over corpus10a/b)
+# ---------------------------------------------------------------------------
+
+
+def _spark_event_stream10(spark) -> str:
+    from logdata_anomaly_miner_spark.operators.timestamps import unsorted_timestamps
+    from logdata_anomaly_miner_spark.streaming.frequency import union_sources
+
+    model = P.seq(
+        P.Element("^"),
+        P.datetime_el("DTM10", "yyyy-MM-dd HH:mm:ss",
+                      r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"),
+        P.fixed(" m "),
+        P.any_bytes("word"),
+        P.Element("$"),
+    )
+    a = read_text_lines(spark, os.path.join(E2E, "corpus10a.log"), source_tag="parity0")
+    b = read_text_lines(spark, os.path.join(E2E, "corpus10b.log"), source_tag="parity1")
+    merged = union_sources([a, b])
+    parsed = (
+        P.parse(merged, "raw", model)
+        .withColumn("epoch", F.unix_timestamp("DTM10"))
+        .localCheckpoint()
+    )
+    ok = parsed.filter(F.col("_parse_ok"))
+
+    # the merge invariant the sync guarantees: ordered by atom time, the
+    # stream is monotonic — the engine's unsorted detector must agree
+    uns = unsorted_timestamps(
+        ok.withColumn("ts", F.col("epoch").cast("double")),
+        ts_col="ts", order_cols=["epoch"], num_buckets=3,
+    )
+    assert uns.count() == 0
+
+    firsts = check_new_values(
+        ok.select("epoch", "word"), ["word"], None, order_cols=["epoch"]
+    )
+    rows = firsts.orderBy("epoch").collect()
+    return "".join(
+        f"{_pyfmt(float(r['epoch']))} New value(s) detected\n"
+        f'NewMatchPathValueDetector: "Words10" (1 lines)\n'
+        f"  {{'/model10/word': '{r['word']}'}}\n\n"
+        for r in rows
+    )
+
+
+def test_demo10_e2e_stream_matches_reference_golden(spark):
+    with open(os.path.join(E2E, "reference_stream10.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+    got = _spark_event_stream10(spark)
+    assert got == want
