@@ -131,8 +131,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _halved(ev: DataFrame) -> DataFrame:
-    thr = ev.agg((F.max("event_id") / 2.0).alias("thr"))
+def _halved(ev: DataFrame, denom: float = 2.0) -> DataFrame:
+    """Tag every row with a learn/check split threshold ``thr`` =
+    max(event_id)/denom. denom=2 is the classic half split; detectors whose
+    violation sets are EMPTY under a half split (every value/combo/bucket
+    already seen in the first half) use a shorter learn prefix (larger
+    denom) so the oracle gate exercises the FIRING path, not just the
+    non-misfiring path (round-5 VERDICT item 2)."""
+    thr = ev.agg((F.max("event_id") / F.lit(denom)).alias("thr"))
     return ev.crossJoin(F.broadcast(thr))
 
 
@@ -141,7 +147,11 @@ def _halved(ev: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_new_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _halved(_events(spark, sf_dir))
+    # learn on the first 2% of the stream: the user population ramps up over
+    # time, so a half split sees every user in the learn half and the
+    # detector never fires (0-row green = weak evidence); 1/50 leaves
+    # genuinely novel users in the check window at sf>=0.01
+    ev = _halved(_events(spark, sf_dir), denom=50.0)
     base = ev.filter("event_id < thr").select("user_id").dropDuplicates()
     cur = ev.filter("event_id >= thr")
     return check_new_values(cur, ["user_id"], base, order_cols=["us", "event_id"]).select(
@@ -150,7 +160,10 @@ def q_new_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_new_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _halved(_events(spark, sf_dir))
+    # 10% learn prefix: (user, type) combos keep appearing for the whole
+    # stream, so the check window holds hundreds of novel combos (a half
+    # split held zero — see q_new_values)
+    ev = _halved(_events(spark, sf_dir), denom=10.0)
     base = ev.filter("event_id < thr").select("user_id", "event_type").dropDuplicates()
     cur = ev.filter("event_id >= thr")
     return check_new_values(
@@ -228,8 +241,11 @@ def q_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_charset_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 2% learn prefix (was 1/2): per-lang alphabets saturate quickly, so the
+    # half split never flagged a character; learning on the first docs only
+    # leaves rare chars (digits, punctuation) for the check side to detect
     docs = _read(spark, sf_dir, "documents")
-    thr = docs.agg((F.max("doc_id") / 2.0).alias("thr"))
+    thr = docs.agg((F.max("doc_id") / 50.0).alias("thr"))
     d = docs.crossJoin(F.broadcast(thr))
     base = learn_charsets(d.filter("doc_id < thr"), "text", ["lang"])
     return check_charset(d.filter("doc_id >= thr"), "text", base, ["lang"]).select("lang", "ch")
@@ -254,8 +270,12 @@ def q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the generated dimension is complete (every user_id exists), so the
+    # anti-join was vacuously green; drop customers with c_custkey % 10 == 7
+    # to simulate missing dimension rows — now the query proves the
+    # violation path fires AND that matched refs stay silent
     ev = _read(spark, sf_dir, "events")
-    cust = _read(spark, sf_dir, "customer")
+    cust = _read(spark, sf_dir, "customer").filter("c_custkey % 10 != 7")
     return dangling_refs(ev, "user_id", cust, "c_custkey").select("user_id")
 
 
@@ -312,8 +332,17 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic corpus has no exact duplicates, so the grouper returned
+    # 0 groups; seed determinstic dups (every 20th doc re-ingested under a
+    # shifted id, the classic re-crawl shape) so the query certifies both
+    # that dup groups surface AND that unique docs stay out
     docs = _read(spark, sf_dir, "documents")
-    return exact_dup_groups(docs, "doc_id", "text").select("text_hash", "cnt")
+    dup = docs.filter("doc_id % 20 = 0").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    return exact_dup_groups(docs.unionByName(dup), "doc_id", "text").select(
+        "text_hash", "cnt"
+    )
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,7 +471,10 @@ def q_time_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         learn_time_intervals,
     )
 
-    ev = _halved(_events(spark, sf_dir))
+    # 2% learn prefix: events cover every time-of-day hour well before the
+    # half mark, so the half split produced an empty violation set; a short
+    # learn window leaves unseen tod buckets for the check side to flag
+    ev = _halved(_events(spark, sf_dir), denom=50.0)
     base = learn_time_intervals(ev.filter("event_id < thr"), ["event_type"], ts_col="es")
     v = check_time_intervals(ev.filter("event_id >= thr"), base, ["event_type"], ts_col="es")
     return v.select("event_type", "tod_bucket")
@@ -1960,7 +1992,7 @@ WHERE NOT (event_type = 'click' OR event_type = 'view'
            OR (event_type = 'purchase' AND value BETWEEN 0 AND 1000))
 """,
     "time_intervals": """
-WITH thr AS (SELECT max(event_id)/2.0 AS t FROM events),
+WITH thr AS (SELECT max(event_id)/50.0 AS t FROM events),
 b AS (SELECT event_id,
              CAST(floor(((epoch_us(ts)/1000000.0) % 86400.0) / 3600.0) AS BIGINT) AS tod_bucket,
              event_type
@@ -2064,13 +2096,13 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.45
 """,
     "new_values": """
-WITH thr AS (SELECT max(event_id)/2.0 AS t FROM events),
+WITH thr AS (SELECT max(event_id)/50.0 AS t FROM events),
 base AS (SELECT DISTINCT user_id FROM events, thr WHERE event_id < t)
 SELECT DISTINCT user_id FROM events, thr
 WHERE event_id >= t AND user_id NOT IN (SELECT user_id FROM base)
 """,
     "new_combos": """
-WITH thr AS (SELECT max(event_id)/2.0 AS t FROM events),
+WITH thr AS (SELECT max(event_id)/10.0 AS t FROM events),
 base AS (SELECT DISTINCT user_id, event_type FROM events, thr WHERE event_id < t)
 SELECT DISTINCT e.user_id, e.event_type FROM events e, thr
 WHERE e.event_id >= t AND NOT EXISTS (
@@ -2175,7 +2207,7 @@ GROUP BY user_id, mt
 HAVING max(epoch_us(ts)) < mt - 172800000000
 """,
     "charset_new": """
-WITH thr AS (SELECT max(doc_id)/2.0 AS t FROM documents),
+WITH thr AS (SELECT max(doc_id)/50.0 AS t FROM documents),
 c AS (SELECT doc_id, lang, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents),
 base AS (SELECT DISTINCT lang, ch FROM c, thr WHERE doc_id < t)
 SELECT DISTINCT c.lang, c.ch FROM c, thr
@@ -2210,7 +2242,8 @@ FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
     "referential": """
 SELECT DISTINCT user_id FROM events e
 WHERE user_id IS NOT NULL
-  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = e.user_id AND c.c_custkey % 10 != 7)
 """,
     "column_stats": """
 SELECT 'value' AS column, CAST(count(*) AS BIGINT) AS n_rows,
@@ -2250,10 +2283,14 @@ FROM j JOIN tot ON j.event_type = tot.event_type
 GROUP BY j.event_type
 """,
     "dedup_exact": """
-WITH n AS (SELECT doc_id,
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 20 = 0),
+n AS (SELECT doc_id,
   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
                           '\\s+', ' ', 'g'))) AS text_hash
-  FROM documents)
+  FROM corpus)
 SELECT text_hash, CAST(count(*) AS BIGINT) AS cnt
 FROM n GROUP BY 1 HAVING count(*) > 1
 """,
