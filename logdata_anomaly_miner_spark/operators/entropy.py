@@ -242,3 +242,78 @@ def check_entropy(
 ) -> DataFrame:
     """Anomaly filter (reference :145-164)."""
     return scored.filter(F.col("critical_val") < F.lit(prob_thresh))
+
+
+def score_entropy_sequential(
+    df: DataFrame,
+    value_col: str,
+    ord_col: str,
+    skip_repetitions: bool = False,
+) -> DataFrame:
+    """Exact replay of EntropyDetector's per-atom check-THEN-learn loop
+    (aminer/analysis/EntropyDetector.py:87-193): atom i's critical value is
+    scored against the freq/total tables accumulated from atoms j < i only
+    (receive_atom checks every value before the learn loop runs), so the
+    first atom always scores 0.0 and identical streams alarm less over time.
+
+    Declarative prefix formulation — no stateful loop:
+      pair_prior(i, a, b)  = #learned occurrences of bigram (a,b) in atoms < i
+      first_prior(i, a)    = #learned pairs whose first char is a in atoms < i
+      prob = pair_prior/first_prior (0 when the char was never a first char)
+      critical_val(i) = mean prob over the len+1 pairs of atom i's value
+    via two range-frame windows partitioned by (first, second) and (first):
+    the RANGE ... -1 frame excludes the current atom exactly like the
+    reference's post-check learn loop. ``skip_repetitions`` weights only the
+    first occurrence of each distinct value (reference :170-174).
+
+    ``ord_col`` must be numeric and unique per row (one value per atom).
+    Scale note: this is the reference-replay path for bounded per-key
+    streams; the trillion-row path is learn_bigram_freq + the broadcast
+    matrix scorer (score_entropy_pandas), which has no per-pair ordering.
+    """
+    from pyspark.sql import Window
+
+    o = F.col(ord_col)
+    base = df.withColumn("_learn_w", F.lit(1.0))
+    if skip_repetitions:
+        firsts = (
+            df.groupBy(F.col(value_col).alias("_v"))
+            .agg(F.min(o).alias("_first_ord"))
+        )
+        base = df.join(
+            firsts,
+            (F.col(value_col) == F.col("_v")) & (o == F.col("_first_ord")),
+            "left",
+        ).withColumn(
+            "_learn_w", F.when(F.col("_first_ord").isNotNull(), 1.0).otherwise(0.0)
+        ).drop("_v", "_first_ord")
+    pairs = base.select(
+        o.alias("_ord"), "_learn_w",
+        F.explode(_bigram_pairs(F.col(value_col))).alias("p"),
+    ).select(
+        "_ord", "_learn_w",
+        F.col("p.first").alias("first"), F.col("p.second").alias("second"),
+    )
+    w_pair = (
+        Window.partitionBy("first", "second")
+        .orderBy("_ord")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_first = (
+        Window.partitionBy("first")
+        .orderBy("_ord")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    scored = pairs.select(
+        "_ord",
+        F.sum("_learn_w").over(w_pair).alias("_pp"),
+        F.sum("_learn_w").over(w_first).alias("_fp"),
+    ).withColumn(
+        "_prob",
+        F.when(
+            F.coalesce(F.col("_fp"), F.lit(0.0)) > 0,
+            F.coalesce(F.col("_pp"), F.lit(0.0)) / F.col("_fp"),
+        ).otherwise(0.0),
+    )
+    crit = scored.groupBy("_ord").agg(F.avg("_prob").alias("critical_val"))
+    return df.join(crit, df[ord_col] == crit["_ord"], "left").drop("_ord")

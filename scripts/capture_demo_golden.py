@@ -47,6 +47,7 @@ PIPELINES = [
     ("demo8_config.py", "corpus8.log", "reference_stream8.txt"),
     ("demo9_config.py", "corpus9.log", "reference_stream9.txt"),
     ("demo10_config.py", ("corpus10a.log", "corpus10b.log"), "reference_stream10.txt"),
+    ("demo11_config.py", "corpus11.log", "reference_stream11.txt"),
 ]
 
 

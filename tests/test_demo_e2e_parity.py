@@ -1624,3 +1624,126 @@ def test_demo10_e2e_stream_matches_reference_golden(spark):
         want = fh.read()
     got = _spark_event_stream10(spark)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 11: EntropyDetector — plain AND skip_repetitions over the same
+# stream (golden: reference_stream11.txt from demo11_config.py over
+# corpus11.log). The reference checks each atom against the bigram tables
+# accumulated from STRICTLY EARLIER atoms, then learns; the engine replays
+# that loop with operators/entropy.py score_entropy_sequential (two
+# range-frame prefix windows, no driver loop). The corpus is built so the
+# two variants DIVERGE: 'abi' at 12:00:29 alarms only under
+# skip_repetitions (repetition-diluted totals push the plain score to
+# 0.0926, the deduped tables leave it at 0.0417 < prob_thresh 0.05).
+# ---------------------------------------------------------------------------
+
+S11_PATHS = [
+    "/Sess", "/Sess/DTM", "/Sess/Fix", "/Sess/name", "/Sess/Sp", "/Sess/action",
+]
+
+
+def _model11() -> P.Element:
+    return P.seq(
+        P.Element("^"),
+        P.datetime_el("DTM11", "yyyy-MM-dd HH:mm:ss",
+                      r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"),
+        P.fixed(" user "),
+        P.delimited("name", " ", consume_delimiter=False),
+        P.fixed(" "),
+        P.wordlist("action", ["login", "logout"]),
+        P.Element("$"),
+    )
+
+
+def _spark_event_stream11(spark) -> str:
+    from logdata_anomaly_miner_spark.operators.entropy import (
+        check_entropy,
+        score_entropy_sequential,
+    )
+
+    lines = read_text_lines(spark, os.path.join(E2E, "corpus11.log"))
+    parsed = (
+        P.parse(lines, "raw", _model11())
+        .withColumn("epoch", F.unix_timestamp("DTM11"))
+        .withColumn("atom_ts", F.coalesce(F.col("epoch").cast("double"), F.lit(FROZEN)))
+        .withColumn("action_idx", F.when(F.col("action") == "login", 0)
+                    .when(F.col("action") == "logout", 1))
+        .localCheckpoint()
+    )
+    ok = parsed.filter(F.col("_parse_ok"))
+
+    # rank 0: SimpleUnparsedAtomHandler ("Unparsed11")
+    unparsed = parsed.filter(~F.col("_parse_ok")).select(
+        "ingest_order", F.lit(0).alias("rank"),
+        F.concat(
+            _fmt(F.lit(FROZEN)),
+            F.lit(' Unparsed atom received\nSimpleUnparsedAtomHandler: "Unparsed11" (1 lines)\n  '),
+            F.col("raw"), F.lit("\n\n"),
+        ).alias("text"),
+    )
+
+    # rank 1: NewMatchPathDetector ("NewPath11") — single-branch model, so
+    # only the first parsed atom emits (all six paths at once)
+    block = F.concat(
+        F.lit("  /Sess: "), F.col("raw"),
+        F.lit("\n  /Sess/DTM: "), F.col("epoch").cast("string"),
+        F.lit("\n  /Sess/Fix:  user "),
+        F.lit("\n  /Sess/name: "), F.col("name"),
+        F.lit("\n  /Sess/Sp:  "),
+        F.lit("\n  /Sess/action: "), F.col("action_idx").cast("string"),
+    )
+    atom_paths = ok.select(
+        "ingest_order",
+        F.posexplode(F.array(*[F.lit(p) for p in S11_PATHS])).alias("pos", "path"),
+    )
+    first_per_path = first_occurrences(atom_paths, ["path"], ["ingest_order"])
+    newpath = (
+        first_per_path.groupBy("ingest_order")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "path"))), lambda s: s["path"]
+        ).alias("new_paths"))
+        .join(ok, "ingest_order")
+        .select(
+            "ingest_order", F.lit(1).alias("rank"),
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(' New path(es) detected\nNewMatchPathDetector: "NewPath11" (1 lines)\n'),
+                block,
+                F.lit("\n['"), F.concat_ws("', '", F.col("new_paths")),
+                F.lit("']\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+            ).alias("text"),
+        )
+    )
+
+    # ranks 2+3: the two EntropyDetector variants (output_logline=False →
+    # the event body is just the raw line, indented)
+    names = ok.select("ingest_order", "atom_ts", "name", "raw")
+
+    def entropy_rank(rank: int, comp: str, skip: bool):
+        scored = score_entropy_sequential(
+            names, "name", "ingest_order", skip_repetitions=skip
+        )
+        return check_entropy(scored, 0.05).select(
+            "ingest_order", F.lit(rank).alias("rank"),
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(f' Value entropy anomaly detected\nEntropyDetector: "{comp}" (1 lines)\n  '),
+                F.col("raw"), F.lit("\n\n"),
+            ).alias("text"),
+        )
+
+    events = (
+        unparsed.unionByName(newpath)
+        .unionByName(entropy_rank(2, "NameEntropy", False))
+        .unionByName(entropy_rank(3, "NameEntropySkip", True))
+    )
+    rows = events.orderBy("ingest_order", "rank").collect()
+    return "".join(r["text"] for r in rows)
+
+
+def test_demo11_e2e_stream_matches_reference_golden(spark):
+    with open(os.path.join(E2E, "reference_stream11.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+    got = _spark_event_stream11(spark)
+    assert got == want

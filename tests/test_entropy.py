@@ -139,3 +139,62 @@ def test_skip_repetitions(spark):
     freq2, seen2 = learn_bigram_freq(df2, "value", freq, skip_repetitions=True, seen_values=seen)
     assert sum(r["cnt"] for r in freq2.collect()) == 9
     assert sorted(r["value"] for r in seen2.collect()) == ["ab", "cd", "ef"]
+
+
+def _ref_scores_seq(values, skip_repetitions=False):
+    """Plain-Python check-then-learn oracle (EntropyDetector.py:87-193),
+    optionally with the skip_repetitions value dedup."""
+    freq: dict[int, dict[int, int]] = {}
+    total: dict[int, int] = {}
+    seen: set[bytes] = set()
+    scores = []
+    for v in values:
+        b = v.encode()
+        probs = []
+        for i in range(-1, len(b)):
+            first = b[i] if i != -1 else -1
+            second = b[i + 1] if i != len(b) - 1 else -1
+            p = 0.0
+            if first in freq and second in freq[first]:
+                p = freq[first][second] / total[first]
+            probs.append(p)
+        scores.append(sum(probs) / len(probs))
+        if skip_repetitions:
+            if b in seen:
+                continue
+            seen.add(b)
+        for i in range(-1, len(b)):
+            first = b[i] if i != -1 else -1
+            second = b[i + 1] if i != len(b) - 1 else -1
+            total[first] = total.get(first, 0) + 1
+            d = freq.setdefault(first, {})
+            d[second] = d.get(second, 0) + 1
+    return scores
+
+
+@pytest.mark.parametrize("skip", [False, True])
+def test_score_entropy_sequential_one_shot(spark, skip):
+    """The declarative prefix scorer reproduces the reference's per-atom
+    check-then-learn loop in ONE plan (no driver loop), including repeated
+    values (whose learned pairs shift later scores) and skip_repetitions."""
+    from logdata_anomaly_miner_spark.operators.entropy import (
+        score_entropy_sequential,
+    )
+
+    values = VALUES + ["aminer", "aminer", "amines", "lfmvasacz"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "ord long, value string"
+    )
+    got_rows = score_entropy_sequential(
+        df, "value", "ord", skip_repetitions=skip
+    ).collect()
+    got = [r["critical_val"] for r in sorted(got_rows, key=lambda r: r["ord"])]
+    want = _ref_scores_seq(values, skip_repetitions=skip)
+    assert got == pytest.approx(want, abs=1e-12)
+    if not skip:
+        assert want[:6] == pytest.approx(_ref_scores(), abs=1e-12)
+    # repetition sensitivity: with dedup the 3rd 'aminer' must score LOWER
+    # than without (its own earlier copies were not learned)
+    if skip:
+        base = _ref_scores_seq(values, skip_repetitions=False)
+        assert want[7] < base[7]
