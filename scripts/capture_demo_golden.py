@@ -48,6 +48,7 @@ PIPELINES = [
     ("demo9_config.py", "corpus9.log", "reference_stream9.txt"),
     ("demo10_config.py", ("corpus10a.log", "corpus10b.log"), "reference_stream10.txt"),
     ("demo11_config.py", "corpus11.log", "reference_stream11.txt"),
+    ("demo12_config.py", "corpus12.log", "reference_stream12.txt"),
 ]
 
 

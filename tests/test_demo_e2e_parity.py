@@ -1747,3 +1747,154 @@ def test_demo11_e2e_stream_matches_reference_golden(spark):
         want = fh.read()
     got = _spark_event_stream11(spark)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 12: PCADetector (golden: reference_stream12.txt from
+# demo12_config.py over corpus12.log). Spark aggregates the per-window
+# /S12/svc count vectors and each window's first atom (the rollover
+# trigger); the bounded model math — a <=5x2 matrix per rollover — replays
+# the reference loop (PCADetector.py:94-260) verbatim in numpy, INCLUDING
+# its idiosyncrasies: scalar mean/std normalization over the whole matrix,
+# eigh's ascending eigenvalue order sliced directly in the reconstruction
+# (so the n_comp "top" components by descending variance select the
+# LOWEST-variance columns), and row-sliced eigen_vectors[:n] in the inverse.
+# Byte-matching the golden certifies those exact formulas.
+# ---------------------------------------------------------------------------
+
+def _spark_event_stream12(spark) -> str:
+    import numpy as np
+
+    model = P.seq(
+        P.Element("^"),
+        P.datetime_el("DTM12", "yyyy-MM-dd HH:mm:ss",
+                      r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"),
+        P.fixed(" svc "),
+        P.any_bytes("svc"),
+        P.Element("$"),
+    )
+    lines = read_text_lines(spark, os.path.join(E2E, "corpus12.log"))
+    parsed = (
+        P.parse(lines, "raw", model)
+        .withColumn("epoch", F.unix_timestamp("DTM12"))
+        .withColumn("atom_ts", F.col("epoch").cast("double"))
+        .localCheckpoint()
+    )
+    ok = parsed.filter(F.col("_parse_ok"))
+
+    # rank 1: NewMatchPathDetector ("NewPath12") — single branch, first atom
+    paths12 = ["/S12", "/S12/DTM", "/S12/Fix", "/S12/svc"]
+    atom_paths = ok.select(
+        "ingest_order",
+        F.posexplode(F.array(*[F.lit(p) for p in paths12])).alias("pos", "path"),
+    )
+    first_per_path = first_occurrences(atom_paths, ["path"], ["ingest_order"])
+    block = F.concat(
+        F.lit("  /S12: "), F.col("raw"),
+        F.lit("\n  /S12/DTM: "), F.col("epoch").cast("string"),
+        F.lit("\n  /S12/Fix:  svc "),
+        F.lit("\n  /S12/svc: "), F.col("svc"),
+    )
+    newpath = (
+        first_per_path.groupBy("ingest_order")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "path"))), lambda s: s["path"]
+        ).alias("new_paths"))
+        .join(ok, "ingest_order")
+        .select(
+            "ingest_order", F.lit(1).alias("rank"),
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(' New path(es) detected\nNewMatchPathDetector: "NewPath12" (1 lines)\n'),
+                block,
+                F.lit("\n['"), F.concat_ws("', '", F.col("new_paths")),
+                F.lit("']\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+            ).alias("text"),
+        )
+    )
+
+    # rank 2: PCADetector — Spark builds the distributed aggregates (window
+    # count vectors, per-window first atom, stream-order feature vocab); the
+    # driver replays the bounded rollover loop on <=num_windows x |vocab|.
+    t0 = ok.agg(F.min("atom_ts")).collect()[0][0]
+    win = ok.withColumn("w", F.floor((F.col("atom_ts") - F.lit(t0)) / F.lit(10.0)))
+    counts = {
+        (r["w"], r["svc"]): r["cnt"]
+        for r in win.groupBy("w", "svc").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    # first atom per window: min(struct) gets map-side partial aggregation
+    firsts = {
+        r["w"]: r["f"]
+        for r in win.groupBy("w").agg(
+            F.min(F.struct("ingest_order", "atom_ts", "raw")).alias("f")
+        ).collect()
+    }
+    vocab = [
+        r["svc"]
+        for r in win.groupBy("svc").agg(F.min("ingest_order").alias("o"))
+        .orderBy("o").collect()
+    ]
+
+    window_size, num_windows, min_variance, min_anomaly_score = 10.0, 5, 0.9, 2.0
+    ecm_windows: list[list[int]] = []   # FIFO of learned count vectors
+    state = None                         # (ecm, eigvecs, n_comp, loss) of last fit
+
+    def vec(w):
+        return [counts.get((w, v), 0) for v in vocab]
+
+    def fit(mat):
+        ecm = np.array(mat)
+        normalized = (ecm - ecm.mean()) / ecm.std()
+        eigen_values, eigen_vectors = np.linalg.eigh(np.cov(normalized.T))
+        pca_ecm = normalized @ eigen_vectors
+        variance_explained = [(i / sum(eigen_values)) * 100 for i in eigen_values[::-1]]
+        n_comp = None
+        for n, i in enumerate(np.cumsum(variance_explained)):
+            if i > min_variance * 100:
+                n_comp = n
+                break
+        pca_inverse = pca_ecm[:, :n_comp] @ eigen_vectors[:n_comp, :]
+        loss = np.sum((normalized - pca_inverse) ** 2, axis=1)
+        return ecm, eigen_vectors, n_comp, loss
+
+    def score(ecv):
+        ecm, eigen_vectors, n_comp, loss = state
+        normalized = ((np.array(ecv) - ecm.mean()) / ecm.std()).reshape(1, -1)
+        pca_ecv = normalized @ eigen_vectors
+        inverse = pca_ecv[:, :n_comp] @ eigen_vectors[:n_comp, :]
+        l = np.sum((normalized - inverse) ** 2, axis=1)
+        return ((l - np.min(loss)) / (np.max(loss) - np.min(loss)))[0]
+
+    pca_rows = []
+    flushed = 0  # next window index whose rollover has not yet run
+    for w_atom in sorted(firsts):
+        while w_atom >= flushed + 1:
+            ecv = vec(flushed) if flushed in firsts else [0] * len(vocab)
+            cond = len(ecm_windows) >= 3 and len(vocab) >= 2
+            if cond and score(ecv) > min_anomaly_score:
+                o, ts, raw = firsts[w_atom]
+                pca_rows.append((
+                    o, 2,
+                    f"{_pyfmt(ts)} PCA anomaly detected\n"
+                    f'PCADetector: "SvcPCA" (1 lines)\n  {raw}\n\n',
+                ))
+            if len(ecm_windows) >= num_windows:
+                del ecm_windows[0]
+            ecm_windows.append(ecv)
+            if len(ecm_windows) >= 3 and len(vocab) >= 2:
+                state = fit(ecm_windows)
+            flushed += 1
+    pca = spark.createDataFrame(
+        pca_rows or [], "ingest_order long, rank int, text string"
+    )
+
+    events = newpath.unionByName(pca)
+    rows = events.orderBy("ingest_order", "rank").collect()
+    return "".join(r["text"] for r in rows)
+
+
+def test_demo12_e2e_stream_matches_reference_golden(spark):
+    with open(os.path.join(E2E, "reference_stream12.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+    got = _spark_event_stream12(spark)
+    assert got == want
