@@ -49,6 +49,8 @@ PIPELINES = [
     ("demo10_config.py", ("corpus10a.log", "corpus10b.log"), "reference_stream10.txt"),
     ("demo11_config.py", "corpus11.log", "reference_stream11.txt"),
     ("demo12_config.py", "corpus12.log", "reference_stream12.txt"),
+    ("demo13_config.py", "corpus13.log", "reference_stream13.txt"),
+    ("demo14_config.py", "corpus14.log", "reference_stream14.txt"),
 ]
 
 

@@ -1898,3 +1898,606 @@ def test_demo12_e2e_stream_matches_reference_golden(spark):
         want = fh.read()
     got = _spark_event_stream12(spark)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 13: TimeCorrelationDetector under a pinned random seed (golden:
+# reference_stream13.txt from demo13_config.py over corpus13.log,
+# random.seed(42) set in the config before the stream runs). The replay
+# re-executes the IDENTICAL stdlib random call sequence under the same seed
+# (the ann_lsh LCG discipline) to mine the same rule set
+# (TimeCorrelationDetector.py:97-130 create_random_rule + History.get_log_int),
+# evaluates the mined rules as Column predicates, and reproduces the pair
+# count/delta tables with one prefix window per feature — last i-trigger
+# strictly before each j-trigger within the report interval, matching
+# update_tables_for_feature's pre-atom last_trigger_time discipline and the
+# per-report reset_statistics.
+# ---------------------------------------------------------------------------
+
+# stands in for a (datetime, ...) tuple match_object; NOTE this reference
+# version's DateTimeModelElement yields an epoch INT match_object, so the
+# create_random_rule datetime skip (:178-181) never fires — the branch is
+# kept for fidelity but DTM values below are the epoch ints
+_DT_SENTINEL = object()
+
+
+def _mine_rules13(atom_values, parallel_check_count, min_attrs, max_attrs, seed):
+    """Replicate the reference's seeded rule mining call-for-call.
+    ``atom_values``: per creation atom, the match dictionary as an ordered
+    {path: value} with _DT_SENTINEL for datetime matches. Returns rule
+    trees: ("path", p) | ("value", p, v) | ("and", [..])."""
+    import random
+
+    random.seed(seed)
+
+    def get_log_int(max_bits):  # History.py:19-26
+        rand_bits = random.randint(0, (1 << max_bits) - 1)
+        result = 0
+        while (rand_bits & 1) != 0:
+            result += 1
+            rand_bits >>= 1
+        return result
+
+    rules = []
+    for values in atom_values[:parallel_check_count]:
+        # receive_atom :99 — the last_unhandled_match coin flip is consumed
+        # every creation atom; during the creation streak each new rule
+        # matches its own atom, so last_unhandled_match is always None and
+        # the flip's value is irrelevant
+        random.randint(0, 1)
+        # create_random_rule :164-199
+        sub_rules = []
+        all_keys = list(values)
+        attribute_count = min_attrs + get_log_int(max_attrs - min_attrs)
+        while attribute_count > 0:
+            key_pos = random.randint(0, len(all_keys) - 1)
+            key_name = all_keys[key_pos]
+            all_keys = all_keys[:key_pos] + all_keys[key_pos + 1:]
+            key_value = values[key_name]
+            if key_value is _DT_SENTINEL:
+                if not all_keys:
+                    break
+                continue
+            attribute_count -= 1
+            rule_type = random.randint(0, 1)
+            if rule_type == 0:
+                sub_rules.append(("path", key_name))
+            else:
+                sub_rules.append(("value", key_name, key_value))
+            if not all_keys:
+                break
+        if len(sub_rules) > 1:
+            rules.append(("and", sub_rules))
+        elif sub_rules:
+            rules.append(sub_rules[0])
+    return rules
+
+
+def _rule_str13(rule) -> str:
+    """Rules.py __str__ parity: hasPath(p) / value(p)==v (bytes decoded) /
+    '(A) and (B)'."""
+    kind = rule[0]
+    if kind == "path":
+        return f"hasPath({rule[1]})"
+    if kind == "value":
+        v = rule[2].decode() if isinstance(rule[2], bytes) else rule[2]
+        return f"value({rule[1]})=={v}"
+    return " and ".join(f"({_rule_str13(s)})" for s in rule[1])
+
+
+def _spark_event_stream13(spark) -> str:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "demo13_config", os.path.join(E2E, "demo13_config.py"))
+    cfg13 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cfg13)
+
+    from pyspark.sql import Window
+
+    K, REPORT_N, MAX_DELTA = 3, 30, 10.0
+    lines = read_text_lines(spark, os.path.join(E2E, "corpus13.log"))
+    parsed = (
+        P.parse(lines, "raw", _model11())
+        .withColumn("epoch", F.unix_timestamp("DTM11"))
+        .withColumn("atom_ts", F.col("epoch").cast("double"))
+        .withColumn("action_idx", F.when(F.col("action") == "login", 0)
+                    .when(F.col("action") == "logout", 1))
+        .localCheckpoint()
+    )
+    ok = parsed.filter(F.col("_parse_ok"))
+
+    # rank 1: NewMatchPathDetector ("NewPath13") — same shape as pipeline 11
+    block = F.concat(
+        F.lit("  /Sess: "), F.col("raw"),
+        F.lit("\n  /Sess/DTM: "), F.col("epoch").cast("string"),
+        F.lit("\n  /Sess/Fix:  user "),
+        F.lit("\n  /Sess/name: "), F.col("name"),
+        F.lit("\n  /Sess/Sp:  "),
+        F.lit("\n  /Sess/action: "), F.col("action_idx").cast("string"),
+    )
+    atom_paths = ok.select(
+        "ingest_order",
+        F.posexplode(F.array(*[F.lit(p) for p in S11_PATHS])).alias("pos", "path"),
+    )
+    first_per_path = first_occurrences(atom_paths, ["path"], ["ingest_order"])
+    newpath = (
+        first_per_path.groupBy("ingest_order")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "path"))), lambda s: s["path"]
+        ).alias("new_paths"))
+        .join(ok, "ingest_order")
+        .select(
+            "ingest_order", F.lit(1).alias("rank"),
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(' New path(es) detected\nNewMatchPathDetector: "NewPath13" (1 lines)\n'),
+                block,
+                F.lit("\n['"), F.concat_ws("', '", F.col("new_paths")),
+                F.lit("']\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+            ).alias("text"),
+        )
+    )
+
+    # rank 2: TimeCorrelationDetector — mine the seeded rules from the
+    # first K atoms' match dictionaries, then count in Spark
+    creation_atoms = [
+        {
+            "/Sess": r["raw"].encode(),
+            "/Sess/DTM": r["epoch"],
+            "/Sess/Fix": b" user ",
+            "/Sess/name": r["name"].encode(),
+            "/Sess/Sp": b" ",
+            "/Sess/action": r["action_idx"],
+        }
+        for r in ok.orderBy("ingest_order").limit(K).collect()
+    ]
+    rules = _mine_rules13(creation_atoms, K, 1, 2, cfg13.RANDOM_SEED)
+
+    def pred(rule):
+        kind = rule[0]
+        if kind == "path":
+            return F.lit(True)  # every path exists on parsed atoms
+        if kind == "value":
+            p, v = rule[1], rule[2]
+            if p == "/Sess":
+                return F.col("raw") == v.decode()
+            if p == "/Sess/name":
+                return F.col("name") == v.decode()
+            if p == "/Sess/action":
+                return F.col("action_idx") == v
+            if p == "/Sess/DTM":
+                return F.col("epoch") == v
+            return F.lit(v in (b" user ", b" "))  # fixed elements
+        return F.aggregate(
+            F.array(*[pred(s) for s in rule[1]]), F.lit(True), lambda a, x: a & x
+        )
+
+    w_ord = Window.orderBy("ingest_order")
+    flagged = ok.select(
+        "ingest_order", "atom_ts",
+        F.row_number().over(w_ord).alias("n"),
+    ).withColumn("interval", F.floor((F.col("n") - 1) / F.lit(REPORT_N)))
+    flagged = flagged.join(
+        ok.select("ingest_order", "raw", "name", "action_idx", "epoch"), "ingest_order"
+    )
+    for i, rule in enumerate(rules):
+        # a feature only triggers from its creation atom (atom i+1) on
+        flagged = flagged.withColumn(f"f{i}", pred(rule) & (F.col("n") >= i + 1))
+    w_pre = (
+        Window.partitionBy("interval").orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    for i in range(K):
+        flagged = flagged.withColumn(
+            f"last{i}",
+            F.last(F.when(F.col(f"f{i}"), F.col("atom_ts")), True).over(w_pre),
+        )
+    aggs = []
+    for j in range(K):
+        aggs.append(F.sum(F.col(f"f{j}").cast("int")).alias(f"e{j}"))
+        for i in range(K):
+            delta = F.col("atom_ts") - F.col(f"last{i}")
+            hit = F.col(f"f{j}") & (delta <= MAX_DELTA)
+            aggs.append(F.sum(hit.cast("int")).alias(f"c_{i}_{j}"))
+            aggs.append(F.sum(F.when(hit, (delta * 1000).cast("long"))).alias(f"d_{i}_{j}"))
+    tables = {r["interval"]: r for r in flagged.groupBy("interval").agg(*aggs).collect()}
+    reports = (
+        flagged.filter(F.col("n") % REPORT_N == 0)
+        .select("ingest_order", "atom_ts", "interval", "n").collect()
+    )
+
+    def render_status(t) -> str:  # analysis_status_to_string :226-257
+        result = ""
+        for fi in range(K):
+            e = t[f"e{fi}"] or 0
+            result += f"{_rule_str13(rules[fi])} ({fi}) e = {e}:"
+            for fp in range(K):
+                c1, d1 = t[f"c_{fi}_{fp}"] or 0, t[f"d_{fi}_{fp}"] or 0
+                c2, d2 = t[f"c_{fp}_{fi}"] or 0, -(t[f"d_{fp}_{fi}"] or 0)
+                r1 = "-" if e == 0 else "%.2e" % (float(c1) / e)
+                dt1 = "-" if c1 == 0 else "%.2e" % (float(d1) * 0.001 / c1)
+                r2 = "-" if e == 0 else "%.2e" % (float(c2) / e)
+                dt2 = "-" if c2 == 0 else "%.2e" % (float(d2) * 0.001 / c2)
+                result += "\n  %d: {c = %#6d r = %s dt = %s" % (fp, c1, r1, dt1)
+                result += " c = %#6d r = %s dt = %s}" % (c2, r2, dt2)
+            result += "\n"
+        return result
+
+    tcd_rows = [
+        (
+            r["ingest_order"], 2,
+            f"{_pyfmt(r['atom_ts'])} Correlation report\n"
+            # the status string is ONE sorted_log_lines entry whose trailing
+            # newline survives EventData's join — hence the double blank
+            f'TimeCorrelationDetector: "TimeCorr13" ({r["n"]} lines)\n'
+            f"  {render_status(tables[r['interval']])}\n\n",
+        )
+        for r in reports
+    ]
+    tcd = spark.createDataFrame(tcd_rows, "ingest_order long, rank int, text string")
+
+    events = newpath.unionByName(tcd)
+    rows = events.orderBy("ingest_order", "rank").collect()
+    return "".join(r["text"] for r in rows)
+
+
+def test_demo13_e2e_stream_matches_reference_golden(spark):
+    with open(os.path.join(E2E, "reference_stream13.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+    got = _spark_event_stream13(spark)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 14: EventCorrelationDetector under a pinned random seed (golden:
+# reference_stream14.txt from demo14_config.py over corpus14.log,
+# random.seed(7) in the config). The hypothesis machine
+# (EventCorrelationDetector.py:150-660) is irreducibly sequential — which
+# hypotheses exist depends on seeded draws interleaved with per-atom state —
+# so the replay follows the pipeline-6/12 pattern: Spark parses and
+# classifies the atoms (type tuple, timestamp, raw); a compact driver-side
+# state machine (bounded by the corpus length, test-only — the 10^12-doc
+# path is operators/correlation.py mine_implication_rules, oracle-certified)
+# re-executes the same stdlib random call sequence under the same seed and
+# re-derives rule formation and the violation emissions byte-for-byte.
+# min_eval_true reuses the engine's bt_min_successes ladder — its equality
+# with the reference's get_min_eval_true walk is asserted in passing.
+# ---------------------------------------------------------------------------
+
+
+def _ecd_simulate(atoms, seed, component, *, delta=5.0, max_obs=4, p0=0.99,
+                  alpha=0.05, cand_size=1):
+    """Seeded replay of the hypothesis/rule lifecycle. ``atoms``: ordered
+    (ord, ts, ev, raw) with ev a tuple of decoded values. Returns
+    [(ord, text)] for every 'Correlation rule violated!' emission."""
+    import random
+    from collections import deque
+
+    from logdata_anomaly_miner_spark.operators.var_gof import bt_min_successes
+
+    random.seed(seed)
+    min_eval = bt_min_successes(max_obs, p0, 1 - alpha)
+
+    class Imp:
+        def __init__(self, trig, impl, rule_min_eval=None):
+            self.trig, self.impl = trig, impl
+            self.stable = 0
+            self.h_obs = self.h_true = 1          # seeded by the generating pair
+            self.h_ts = deque()                    # hypothesis trigger times
+            self.r_ts = deque()                    # rule trigger times
+            self.r_obs = deque()                   # rule observation window
+            self.min_eval = rule_min_eval or min_eval
+
+        def observe_h(self, result):
+            if self.h_obs < max_obs:
+                self.h_obs += 1
+                self.h_true += result
+
+        def stability(self):
+            if self.h_true >= self.min_eval:
+                self.stable = 1
+            elif (self.h_obs - self.h_true) > (max_obs - self.min_eval):
+                self.stable = -1
+            else:
+                self.stable = 0
+            return self.stable
+
+        def observe_r(self, result):
+            if len(self.r_obs) >= max_obs:
+                self.r_obs.popleft()
+            self.r_obs.append(result)
+
+        def rule_ok(self):
+            return (len(self.r_obs) - sum(self.r_obs)) <= (max_obs - self.min_eval)
+
+    fwd_h, fwd_h_inv, back_h, back_h_inv = {}, {}, {}, {}
+    fwd_r, fwd_r_inv, back_r, back_r_inv = {}, {}, {}, {}
+    fwd_h_q, back_h_q, fwd_r_q, back_r_q = deque(), deque(), deque(), deque()
+    candidates = deque()
+    samples = {}
+    out = []
+
+    def first_live(ts_deque, now):
+        """Index of the first unconsumed trigger timestamp, or -1."""
+        for i, t in enumerate(ts_deque):
+            if t != "obs":
+                return i if t >= now - delta else -1 - i  # -1-i: found but stale
+        return None  # all consumed (reference index = last, str == "obs")
+
+    def emit(o, ts, rule, arrow, raw):
+        if arrow == "->":
+            head = (f"Correlation rule violated! Event {samples.get(rule.impl)!r} "
+                    f"is missing, but should follow event {samples.get(rule.trig)!r}")
+            body = f"Rule: {rule.trig} -> {rule.impl}"
+        else:
+            head = (f"Correlation rule violated! Event {samples.get(rule.impl)!r} "
+                    f"is missing, but should precede event {samples.get(rule.trig)!r}")
+            body = f"Rule: {rule.impl} <- {rule.trig}"
+        out.append((o, (
+            f"{_pyfmt(ts)} {head}\n"
+            f'EventCorrelationDetector: "{component}" (1 lines)\n'
+            f"  {body}\n  Expected: {rule.min_eval}/{max_obs}\n"
+            f"  Observed: {sum(rule.r_obs)}/{len(rule.r_obs)}\n"
+            f"Original log line: {raw}\n\n"
+        )))
+
+    def promote(h, hyps, hyps_inv, rules, rules_inv):
+        """Stable hypothesis becomes a rule with a sample-fitted min_eval."""
+        p = h.h_true / h.h_obs
+        h.min_eval = bt_min_successes(max_obs, p, 1 - alpha)
+        rules.setdefault(h.trig, []).append(h)
+        rules_inv.setdefault(h.impl, []).append(h)
+        h.h_ts.clear()
+        hyps[h.trig].remove(h)
+        if not hyps[h.trig]:
+            del hyps[h.trig]
+        hyps_inv[h.impl].remove(h)
+        if not hyps_inv[h.impl]:
+            del hyps_inv[h.impl]
+
+    for o, now, ev, raw in atoms:
+        samples[ev] = raw.encode()
+
+        # ---- check phase (check_rules_flag) ----
+        for r in fwd_r.get(ev, []):
+            r.r_ts.append(now)
+            fwd_r_q.append(r)
+        for r in fwd_r_inv.get(ev, []):
+            i = first_live(r.r_ts, now)
+            if isinstance(i, int) and i >= 0:
+                r.observe_r(1)
+                r.r_ts[i] = "obs"
+        while fwd_r_q:
+            r = fwd_r_q[0]
+            if not r.r_ts:
+                fwd_r_q.popleft()
+                continue
+            if r.r_ts[0] == "obs":
+                r.r_ts.popleft()
+                fwd_r_q.popleft()
+                continue
+            if r.r_ts[0] < now - delta:
+                r.observe_r(0)
+                r.r_ts.popleft()
+                fwd_r_q.popleft()
+                if not r.rule_ok():
+                    emit(o, now, r, "->", raw)
+                    r.r_obs = deque()
+                continue
+            break
+        for r in back_r_inv.get(ev, []):
+            r.r_ts.append(now)
+            back_r_q.append(r)
+        for r in back_r.get(ev, []):
+            i = first_live(r.r_ts, now)
+            if isinstance(i, int) and i >= 0:
+                r.observe_r(1)
+                r.r_ts[i] = "obs"
+            else:
+                r.observe_r(0)
+                if not r.rule_ok():
+                    emit(o, now, r, "<-", raw)
+                    r.r_obs = deque()
+        while back_r_q:
+            r = back_r_q[0]
+            if not r.r_ts:
+                back_r_q.popleft()
+                continue
+            if r.r_ts[0] == "obs":
+                r.r_ts.popleft()
+                back_r_q.popleft()
+                continue
+            if r.r_ts[0] < now - delta:
+                r.r_ts.popleft()
+                back_r_q.popleft()
+                continue
+            break
+
+        # ---- learn phase ----
+        for h in fwd_h.get(ev, []):
+            if h.stable == 0:
+                h.h_ts.append(now)
+                fwd_h_q.append(h)
+        for h in list(fwd_h_inv.get(ev, [])):
+            i = first_live(h.h_ts, now)
+            if isinstance(i, int) and i >= 0 and h.stable == 0:
+                h.observe_h(1)
+                h.h_ts[i] = "obs"
+                if h.stability() == 1:
+                    promote(h, fwd_h, fwd_h_inv, fwd_r, fwd_r_inv)
+        while fwd_h_q:
+            h = fwd_h_q[0]
+            if not h.h_ts:
+                fwd_h_q.popleft()
+                continue
+            if h.h_ts[0] == "obs":
+                h.h_ts.popleft()
+                fwd_h_q.popleft()
+                continue
+            if h.h_ts[0] < now - delta:
+                h.h_ts.popleft()
+                h.observe_h(0)
+                if h.stability() == -1 and h in fwd_h.get(h.trig, []):
+                    fwd_h[h.trig].remove(h)
+                    fwd_h_inv[h.impl].remove(h)
+                    if not fwd_h[h.trig]:
+                        del fwd_h[h.trig]
+                    if not fwd_h_inv[h.impl]:
+                        del fwd_h_inv[h.impl]
+                fwd_h_q.popleft()
+                continue
+            break
+        for h in back_h_inv.get(ev, []):
+            if h.stable == 0:
+                h.h_ts.append(now)
+                back_h_q.append(h)
+        for h in list(back_h.get(ev, [])):
+            if h.stable != 0:
+                continue
+            i = first_live(h.h_ts, now)
+            if isinstance(i, int) and i >= 0:
+                h.observe_h(1)
+                h.h_ts[i] = "obs"
+                if h.stability() == 1:
+                    # back promotion mirrors forward (removal via both maps)
+                    p = h.h_true / h.h_obs
+                    h.min_eval = bt_min_successes(max_obs, p, 1 - alpha)
+                    back_r.setdefault(h.trig, []).append(h)
+                    back_r_inv.setdefault(h.impl, []).append(h)
+                    h.h_ts.clear()
+                    back_h_inv[h.impl].remove(h)
+                    back_h[ev].remove(h)
+                    if not back_h.get(ev):
+                        del back_h[ev]
+            else:
+                h.observe_h(0)
+                if h.stability() == -1:
+                    back_h_inv[h.impl].remove(h)
+                    if not back_h_inv[h.impl]:
+                        del back_h_inv[h.impl]
+                    back_h[ev].remove(h)
+                    if not back_h.get(ev):
+                        del back_h[ev]
+        while back_h_q:
+            h = back_h_q[0]
+            if not h.h_ts:
+                back_h_q.popleft()
+                continue
+            if h.h_ts[0] == "obs":
+                h.h_ts.popleft()
+                back_h_q.popleft()
+                continue
+            if h.h_ts[0] < now - delta:
+                h.h_ts.popleft()
+                back_h_q.popleft()
+                continue
+            break
+
+        # hypothesis generation (the seeded draws)
+        if candidates and random.uniform(0.0, 1.0) < 1.0:
+            direction = random.randint(0, 1)
+            if direction == 0:
+                for cand, _cts in candidates:
+                    if any(i.impl == cand for i in back_h.get(ev, [])):
+                        continue
+                    if any(i.impl == cand for i in back_r.get(ev, [])):
+                        continue
+                    h = Imp(ev, cand)
+                    back_h.setdefault(ev, []).append(h)
+                    back_h_inv.setdefault(cand, []).append(h)
+            else:
+                for cand, _cts in candidates:
+                    if cand == ev:
+                        continue
+                    if any(i.impl == ev for i in fwd_h.get(cand, [])):
+                        continue
+                    if any(i.impl == ev for i in fwd_r.get(cand, [])):
+                        continue
+                    h = Imp(cand, ev)
+                    fwd_h.setdefault(cand, []).append(h)
+                    fwd_h_inv.setdefault(ev, []).append(h)
+        while candidates and candidates[0][1] < now - delta:
+            candidates.popleft()
+        if len(candidates) < cand_size and random.uniform(0.0, 1.0) < 1.0:
+            candidates.append((ev, now))
+    return out
+
+
+def _spark_event_stream14(spark) -> str:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "demo14_config", os.path.join(E2E, "demo14_config.py"))
+    cfg14 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cfg14)
+
+    model = P.seq(
+        P.Element("^"),
+        P.datetime_el("DTM14", "yyyy-MM-dd HH:mm:ss",
+                      r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"),
+        P.fixed(" evt "),
+        P.any_bytes("evt"),
+        P.Element("$"),
+    )
+    lines = read_text_lines(spark, os.path.join(E2E, "corpus14.log"))
+    parsed = (
+        P.parse(lines, "raw", model)
+        .withColumn("epoch", F.unix_timestamp("DTM14"))
+        .withColumn("atom_ts", F.col("epoch").cast("double"))
+        .localCheckpoint()
+    )
+    ok = parsed.filter(F.col("_parse_ok"))
+
+    paths14 = ["/Evt", "/Evt/DTM", "/Evt/Fix", "/Evt/evt"]
+    atom_paths = ok.select(
+        "ingest_order",
+        F.posexplode(F.array(*[F.lit(p) for p in paths14])).alias("pos", "path"),
+    )
+    first_per_path = first_occurrences(atom_paths, ["path"], ["ingest_order"])
+    block = F.concat(
+        F.lit("  /Evt: "), F.col("raw"),
+        F.lit("\n  /Evt/DTM: "), F.col("epoch").cast("string"),
+        F.lit("\n  /Evt/Fix:  evt "),
+        F.lit("\n  /Evt/evt: "), F.col("evt"),
+    )
+    newpath = (
+        first_per_path.groupBy("ingest_order")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "path"))), lambda s: s["path"]
+        ).alias("new_paths"))
+        .join(ok, "ingest_order")
+        .select(
+            "ingest_order", F.lit(1).alias("rank"),
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(' New path(es) detected\nNewMatchPathDetector: "NewPath14" (1 lines)\n'),
+                block,
+                F.lit("\n['"), F.concat_ws("', '", F.col("new_paths")),
+                F.lit("']\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+            ).alias("text"),
+        )
+    )
+
+    atoms = [
+        (r["ingest_order"], float(r["atom_ts"]), (r["evt"],), r["raw"])
+        for r in ok.orderBy("ingest_order").collect()
+    ]
+    ecd_rows = [
+        (o, 2, text)
+        for o, text in _ecd_simulate(atoms, cfg14.RANDOM_SEED, "EvtCorr14")
+    ]
+    ecd = spark.createDataFrame(
+        ecd_rows or [], "ingest_order long, rank int, text string"
+    )
+
+    events = newpath.unionByName(ecd)
+    rows = events.orderBy("ingest_order", "rank").collect()
+    return "".join(r["text"] for r in rows)
+
+
+def test_demo14_e2e_stream_matches_reference_golden(spark):
+    with open(os.path.join(E2E, "reference_stream14.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+    got = _spark_event_stream14(spark)
+    assert got == want
