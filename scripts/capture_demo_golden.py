@@ -51,6 +51,11 @@ PIPELINES = [
     ("demo12_config.py", "corpus12.log", "reference_stream12.txt"),
     ("demo13_config.py", "corpus13.log", "reference_stream13.txt"),
     ("demo14_config.py", "corpus14.log", "reference_stream14.txt"),
+    # PathDependentHistogramAnalysis iterates raw sets (all_path_set.pop(),
+    # '", "'.join(mapping[0])) — its output depends on PYTHONHASHSEED, so
+    # this pipeline is captured in a re-exec'd subprocess with the seed
+    # pinned to 0 (round-5 VERDICT item 4)
+    ("demo15_config.py", "corpus15.log", "reference_stream15.txt", {"hashseed": "0"}),
 ]
 
 
@@ -146,8 +151,27 @@ def capture(config_path: str, corpus_paths) -> str:
 
 def main() -> int:
     check = "--check" in sys.argv
+    only = None
+    if "--single" in sys.argv:
+        only = sys.argv[sys.argv.index("--single") + 1]
     rc = 0
-    for cfg, corpus, golden in PIPELINES:
+    for entry in PIPELINES:
+        cfg, corpus, golden = entry[:3]
+        opts = entry[3] if len(entry) > 3 else {}
+        if only is not None and cfg != only:
+            continue
+        hashseed = opts.get("hashseed")
+        if hashseed is not None and os.environ.get("PYTHONHASHSEED") != hashseed:
+            # set-iteration-order-dependent pipeline: re-exec this script for
+            # just this pipeline with the hash seed pinned
+            import subprocess
+
+            env = dict(os.environ, PYTHONHASHSEED=hashseed)
+            args = [sys.executable, os.path.abspath(__file__), "--single", cfg]
+            if check:
+                args.append("--check")
+            rc |= subprocess.run(args, env=env, check=False).returncode
+            continue
         corpora = (
             [os.path.join(E2E_DIR, c) for c in corpus]
             if isinstance(corpus, tuple)

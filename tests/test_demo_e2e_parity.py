@@ -2501,3 +2501,110 @@ def test_demo14_e2e_stream_matches_reference_golden(spark):
         want = fh.read()
     got = _spark_event_stream14(spark)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 15: PathDependentHistogramAnalysis (golden: reference_stream15.txt
+# from demo15_config.py over corpus15.log, captured under PYTHONHASHSEED=0).
+# Single-path model — the demo15_config docstring documents why a stable
+# multi-path golden cannot exist (the reference's mapped branch re-reads the
+# value from the last set-iterated path and crashes on bytes/out-of-range
+# values; probed under pinned seed, 7/7 combos crash). Spark computes the
+# modulo-hour bin per atom and the per-interval bin counts; the driver walks
+# the report cadence (next_report = report_ts + interval, strict <) over the
+# bounded atom-timestamp list and renders HistogramData.to_string
+# (ratio-only lines — scipy absent on both sides).
+# ---------------------------------------------------------------------------
+
+def _spark_event_stream15(spark) -> str:
+    model = P.seq(
+        P.Element("^"),
+        P.datetime_el("T15", "yyyy-MM-dd HH:mm:ss",
+                      r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"),
+        P.Element("$"),
+    )
+    lines = read_text_lines(spark, os.path.join(E2E, "corpus15.log"))
+    parsed = (
+        P.parse(lines, "raw", model)
+        .withColumn("epoch", F.unix_timestamp("T15"))
+        .withColumn("atom_ts", F.col("epoch").cast("double"))
+        .withColumn("hour", F.floor((F.col("epoch") % 86400) / 3600))
+        .localCheckpoint()
+    )
+    ok = parsed.filter(F.col("_parse_ok"))
+
+    # rank 1: NewMatchPathDetector — single path '/t', first atom only
+    first = ok.orderBy("ingest_order").limit(1)
+    newpath = first.select(
+        "ingest_order", F.lit(1).alias("rank"),
+        F.concat(
+            _fmt(F.col("atom_ts")),
+            F.lit(' New path(es) detected\nNewMatchPathDetector: "NewPath15" (1 lines)\n  /t: '),
+            F.col("epoch").cast("string"),
+            F.lit("\n['/t']\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+        ).alias("text"),
+    )
+
+    # rank 2: the report cadence walk over the bounded timestamp list
+    atoms = ok.select("ingest_order", "atom_ts", "raw").orderBy("ingest_order").collect()
+    interval_s = 3600.0
+    next_report, last_report = None, None
+    boundaries = []  # (report-trigger row, report-window start ts)
+    for r in atoms:
+        ts = float(r["atom_ts"])
+        if next_report is None:
+            next_report = ts + interval_s
+            last_report = ts
+            continue
+        if next_report < ts:
+            boundaries.append((r, last_report))
+            last_report = ts
+            next_report = ts + interval_s
+    # per-interval bin counts in ONE Spark aggregation: assign each atom to
+    # the first report whose trigger ord >= its ord (reset_after_report)
+    conds = F.lit(None).cast("int")
+    for i, (r, _f) in reversed(list(enumerate(boundaries))):
+        conds = F.when(F.col("ingest_order") <= r["ingest_order"], F.lit(i)).otherwise(conds)
+    counts = {
+        (row["i"], row["hour"]): row["cnt"]
+        for row in ok.withColumn("i", conds).filter(F.col("i").isNotNull())
+        .groupBy("i", "hour").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+
+    import datetime as _dt
+
+    def fmt(ts):
+        return _dt.datetime.fromtimestamp(ts, tz=_dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+
+    report_rows = []
+    for i, (r, from_ts) in enumerate(boundaries):
+        bins = sorted((h, c) for (j, h), c in counts.items() if j == i)
+        total = sum(c for _h, c in bins)
+        body = f'  Path histogram report from {fmt(from_ts)} till {fmt(r["atom_ts"])}\n'
+        body += 'Path values "/t":\n'
+        body += f"Example: {r['raw']}\n"
+        body += f'  Property "/t" ({total} elements):\n'
+        body += "".join(
+            "  * [%d-%d]: %d (ratio = %.2e)\n" % (h, h + 1, c, c / total)
+            for h, c in bins
+        )
+        report_rows.append((
+            r["ingest_order"], 2,
+            f"{fmt(r['atom_ts'])} Histogram report\n"
+            f'PathDependentHistogramAnalysis: "PathHist15" ({total} lines)\n'
+            + body + "\n",
+        ))
+    reports = spark.createDataFrame(
+        report_rows, "ingest_order long, rank int, text string"
+    )
+
+    events = newpath.unionByName(reports)
+    rows = events.orderBy("ingest_order", "rank").collect()
+    return "".join(r["text"] for r in rows)
+
+
+def test_demo15_e2e_stream_matches_reference_golden(spark):
+    with open(os.path.join(E2E, "reference_stream15.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+    got = _spark_event_stream15(spark)
+    assert got == want
