@@ -154,3 +154,168 @@ def streaming_value_range(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+CHARSET_OUTPUT_SCHEMA = "g string, ch string, first_ts double"
+CHARSET_STATE_SCHEMA = "seen array<string>"
+
+
+def _charset_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (g,) = key
+    seen = set(state.get[0]) if state.exists else set()
+    out_ch, out_ts = [], []
+    all_pdfs = [p for p in pdfs]
+    for pdf in [pd.concat(all_pdfs).sort_values("ts")] if all_pdfs else []:
+        for text, t in zip(pdf["text"], pdf["ts"]):
+            if text is None:
+                continue
+            for ch in text:
+                if ch not in seen:
+                    seen.add(ch)
+                    out_ch.append(ch)
+                    out_ts.append(float(t))
+    state.update((sorted(seen),))
+    yield pd.DataFrame(
+        {"g": [g] * len(out_ch), "ch": out_ch, "first_ts": out_ts}
+    )
+
+
+def streaming_new_charset(stream: DataFrame, group_col: str = "g") -> DataFrame:
+    """True-streaming CharsetDetector (reference CharsetDetector.py:96-122,
+    learn_mode): per-group known-character set in the Spark state store;
+    each character's FIRST occurrence (in event-time order) emits once,
+    never again across micro-batches. Batch-equivalent contract: emissions
+    whose first_ts falls in a check window equal
+    check_charset(check, learn_charsets(learn)) over the same split."""
+    return stream.groupBy(group_col).applyInPandasWithState(
+        _charset_fn,
+        CHARSET_OUTPUT_SCHEMA,
+        CHARSET_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+_GRAM_SEP = "\x1f"
+SEQ_OUTPUT_SCHEMA = "id string, g1 string, g2 string, g3 string, first_ts double"
+SEQ_STATE_SCHEMA = "lastvals array<string>, seen array<string>"
+
+
+def _seq_ngram_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (ident,) = key
+    last_vals, seen = ([], set())
+    if state.exists:
+        lv, sn = state.get
+        last_vals, seen = list(lv), set(sn)
+    out = []
+    all_pdfs = [p for p in pdfs]
+    for pdf in [pd.concat(all_pdfs).sort_values("ts")] if all_pdfs else []:
+        for v, t in zip(pdf["value"], pdf["ts"]):
+            if v is None:
+                continue
+            last_vals.append(v)
+            if len(last_vals) > 3:
+                last_vals.pop(0)
+            if len(last_vals) == 3:
+                gram = _GRAM_SEP.join(last_vals)
+                if gram not in seen:
+                    seen.add(gram)
+                    out.append((ident, *last_vals, float(t)))
+    state.update((last_vals, sorted(seen)))
+    yield pd.DataFrame(out, columns=["id", "g1", "g2", "g3", "first_ts"])
+
+
+def streaming_new_sequences(stream: DataFrame, id_col: str = "id") -> DataFrame:
+    """True-streaming EventSequenceDetector 3-grams (reference
+    EventSequenceDetector.py:169-178): per-id state carries the last n-1
+    values ACROSS micro-batch boundaries (a gram spanning two files must
+    still form) plus the known-gram set; each novel gram emits once with
+    the timestamp of its completing event."""
+    return stream.groupBy(id_col).applyInPandasWithState(
+        _seq_ngram_fn,
+        SEQ_OUTPUT_SCHEMA,
+        SEQ_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+CLUSTER_OUTPUT_SCHEMA = "id string, w long, dist double"
+CLUSTER_STATE_SCHEMA = (
+    "bt array<string>, bc array<long>, w long, ct array<string>, cc array<long>"
+)
+
+
+def _make_count_cluster_fn(t0: float, window_size: float):
+    def _fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (ident,) = key
+        if state.exists:
+            bt, bc, cur_w, ct, cc = state.get
+            base = dict(zip(bt, bc))
+            cur = dict(zip(ct, cc))
+            cur_w = int(cur_w)
+        else:
+            base, cur, cur_w = {}, {}, None
+        out = []
+
+        def flush(completed_w):
+            """Score the completed window: window 0 becomes the baseline,
+            later windows emit the normalized Manhattan distance vs it
+            (manhattan_vs_baseline's Σ|c−b| / (Σc + Σb))."""
+            nonlocal base
+            if completed_w == 0:
+                base = dict(cur)
+                return
+            types = set(base) | set(cur)
+            num = sum(abs(cur.get(k, 0) - base.get(k, 0)) for k in types)
+            den = sum(cur.values()) + sum(base.values())
+            out.append((ident, completed_w, num / den if den else 0.0))
+
+        all_pdfs = [p for p in pdfs]
+        for pdf in [pd.concat(all_pdfs).sort_values("ts")] if all_pdfs else []:
+            for t, ev in zip(pdf["ts"], pdf["event_type"]):
+                w = int((float(t) - t0) // window_size)
+                if cur_w is None:
+                    cur_w = w
+                elif w > cur_w:
+                    flush(cur_w)
+                    cur, cur_w = {}, w
+                cur[ev] = cur.get(ev, 0) + 1
+        state.update((
+            sorted(base), [base[k] for k in sorted(base)],
+            cur_w if cur_w is not None else -1,
+            sorted(cur), [cur[k] for k in sorted(cur)],
+        ))
+        yield pd.DataFrame(out, columns=["id", "w", "dist"])
+
+    return _fn
+
+
+def streaming_count_cluster(
+    stream: DataFrame, t0: float, window_size: float = 600.0,
+    id_col: str = "id",
+) -> DataFrame:
+    """True-streaming EventCountClusterDetector (reference
+    EventCountClusterDetector.py:24-98 semantics as re-expressed by
+    operators/event_count_cluster.py): per-id the window-0 count vector is
+    the baseline; each LATER window is scored with the normalized Manhattan
+    distance when its first out-of-window successor event arrives (windows
+    accumulate across micro-batches; empty windows emit nothing, matching
+    the batch operator). The eternally-open final window is a stream-end
+    artifact — flush it with a sentinel event or state timeout in
+    production. ``t0`` anchors the window grid (the batch side's global
+    min-ts anchor must be passed explicitly — per-key state cannot see the
+    global minimum)."""
+    return stream.groupBy(id_col).applyInPandasWithState(
+        _make_count_cluster_fn(float(t0), float(window_size)),
+        CLUSTER_OUTPUT_SCHEMA,
+        CLUSTER_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
