@@ -72,9 +72,27 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    def cpu_probe() -> float:
+        # Inline cpu_ref (scripts/cpu_ref.py scaled to ~1.5 s): pure
+        # whole-stage-codegen arithmetic, no shuffle, no Python — measures
+        # the host's instantaneous CPU speed, not the engine. Row count
+        # scales with CPUS so probe wall time is parallelism-invariant.
+        t0 = time.time()
+        spark.range(0, 40_000_000 * CPUS, 1, CPUS * 2).selectExpr(
+            "sum(xxhash64(id, id+1, id+2)/1e9)"
+        ).collect()
+        return time.time() - t0
+
     timings: dict[str, float] = {}
     suite_wall = None
     res = None
+    # NORMALIZATION RULE (round 6, BENCH/NOTES.md): probe host CPU speed
+    # fresh (after warmup, before any timed work), then again before and
+    # after the query section. queries_normalized rescales each raw query
+    # second to fresh-host speed — raw * fresh / mean(bracket probes) — so
+    # a burst-credit drain between rounds shows up as slowdown_factor, not
+    # as a phantom per-query regression.
+    probe_fresh = cpu_probe()
     # ORDERING RULE (round 5, BENCH/NOTES.md): the headline validation
     # suite runs FIRST, on fresh burst credits, so its docs/sec is
     # comparable round-over-round; the 50 engine queries follow. Round 4's
@@ -109,13 +127,26 @@ def main() -> None:
         suite_wall = time.time() - t0
         timings["validation_suite"] = round(suite_wall, 3)
 
+    probe_pre = probe_post = None
     if MODE in ("all", "queries"):
+        probe_pre = cpu_probe()
         for name, fn in queries().items():
             t0 = time.time()
             force(fn(spark, SF_DIR))
             timings[name] = round(time.time() - t0, 3)
+        probe_post = cpu_probe()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    slowdown = None
+    queries_normalized = None
+    if probe_pre is not None and probe_post is not None:
+        bracket = (probe_pre + probe_post) / 2.0
+        slowdown = round(bracket / probe_fresh, 3)
+        queries_normalized = {
+            k: round(v / slowdown, 3)
+            for k, v in timings.items()
+            if k != "validation_suite"
+        }
     out = {
         "metric": "total wall time: all engine queries @ sf + full validation suite "
                   f"on {SUITE_DOCS} synthetic interleaved-span documents",
@@ -134,6 +165,13 @@ def main() -> None:
             else None
         ),
         "suite_metrics": res.metrics if res else None,
+        "cpu_ref": {
+            "fresh_s": round(probe_fresh, 3),
+            "pre_queries_s": round(probe_pre, 3) if probe_pre else None,
+            "post_queries_s": round(probe_post, 3) if probe_post else None,
+            "slowdown_factor": slowdown,
+        },
+        "queries_normalized": queries_normalized,
     }
     print(json.dumps(out))
 

@@ -192,8 +192,16 @@ def ivf_topk(
     )
     if train_fraction < 1.0:
         train = train.sample(fraction=train_fraction, seed=seed)
-    km = KMeans(k=n_centroids, seed=seed).fit(train)
-    centers = [list(map(float, c)) for c in km.clusterCenters()]
+    # KMeans.fit iterates; without a persist every iteration re-scans the
+    # source and re-runs array_to_vector (the round-5 ann_ivf regression's
+    # main cost). Materialize the sampled training frame once, release it
+    # as soon as the codebook is extracted.
+    train = train.persist()
+    try:
+        km = KMeans(k=n_centroids, seed=seed).fit(train)
+        centers = [list(map(float, c)) for c in km.clusterCenters()]
+    finally:
+        train.unpersist()
     if codebook_out_path is not None:
         # persist the trained codebook: downstream assignment / probe /
         # rerank become pure functions of (vectors, codebook) that an
