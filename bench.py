@@ -77,6 +77,11 @@ def main() -> None:
         # whole-stage-codegen arithmetic, no shuffle, no Python — measures
         # the host's instantaneous CPU speed, not the engine. Row count
         # scales with CPUS so probe wall time is parallelism-invariant.
+        # The tiny prefix run compiles the probe's codegen so the FIRST
+        # real probe is not inflated by its own JIT (measured: +25%).
+        spark.range(0, 1_000_000, 1, CPUS).selectExpr(
+            "sum(xxhash64(id, id+1, id+2)/1e9)"
+        ).collect()
         t0 = time.time()
         spark.range(0, 40_000_000 * CPUS, 1, CPUS * 2).selectExpr(
             "sum(xxhash64(id, id+1, id+2)/1e9)"
@@ -91,7 +96,13 @@ def main() -> None:
     # after the query section. queries_normalized rescales each raw query
     # second to fresh-host speed — raw * fresh / mean(bracket probes) — so
     # a burst-credit drain between rounds shows up as slowdown_factor, not
-    # as a phantom per-query regression.
+    # as a phantom per-query regression. The first full-size probe is
+    # discarded: JVM tiered compilation of the probe's codegen class plus
+    # host frequency ramp inflate it ~25% (measured 1.00/0.74/0.70/0.66 s
+    # over four consecutive probes); one discard leaves a ~5% residual
+    # drift floor, far below the 10-30% drained-credit effect being
+    # corrected (BENCH/NOTES.md round 6).
+    cpu_probe()
     probe_fresh = cpu_probe()
     # ORDERING RULE (round 5, BENCH/NOTES.md): the headline validation
     # suite runs FIRST, on fresh burst credits, so its docs/sec is
