@@ -244,6 +244,98 @@ def streaming_new_sequences(stream: DataFrame, id_col: str = "id") -> DataFrame:
     )
 
 
+_COMBO_SEP = "\x1f"
+DISPATCH_OUTPUT_SCHEMA = (
+    "ingest_order long, rank int, prev_ts double, new_paths array<string>"
+)
+DISPATCH_STATE_SCHEMA = (
+    "prev_ts double, known_paths array<string>, known_values array<string>, "
+    "known_combos array<string>"
+)
+
+
+def _dispatch_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """The reference's AnalysisChild dispatch loop (dispatch_atom →
+    SubhandlerFilter walking its handler list, AnalysisChild.py) as ONE
+    stateful streaming operator: per stream-key, the learned sets of four
+    detectors live together in the Spark state store and every atom is
+    checked-then-learned in handler registration order. Emits decision rows
+    (rank = handler registration order); rendering stays outside (the
+    golden StreamPrinter format is a plain projection over these rows)."""
+    prev_ts, known_paths, known_values, known_combos = None, set(), set(), set()
+    if state.exists:
+        pt, kp, kv, kc = state.get
+        # NaN sentinel: state tuples cannot hold None doubles reliably
+        prev_ts = None if pt is None or pd.isna(pt) else float(pt)
+        known_paths, known_values, known_combos = set(kp), set(kv), set(kc)
+    out = []
+    all_pdfs = [p for p in pdfs]
+    for pdf in [pd.concat(all_pdfs).sort_values("ingest_order")] if all_pdfs else []:
+        for o, ts, ok, paths, value, combo in zip(
+            pdf["ingest_order"], pdf["ts"], pdf["parse_ok"],
+            pdf["paths"], pdf["value"], pdf["combo"],
+        ):
+            o = int(o)
+            if not ok:
+                # SimpleUnparsedAtomHandler, stop_when_handled=True: the
+                # atom never reaches the detectors below
+                out.append((o, 0, None, None))
+                continue
+            ts = float(ts)
+            if prev_ts is not None and ts < prev_ts:
+                out.append((o, 1, prev_ts, None))
+            prev_ts = ts
+            new_paths = [p for p in paths if p not in known_paths]
+            if new_paths:
+                known_paths.update(new_paths)
+                out.append((o, 2, None, new_paths))
+            if value is not None and value not in known_values:
+                known_values.add(value)
+                out.append((o, 3, None, None))
+            if combo is not None and combo not in known_combos:
+                known_combos.add(combo)
+                out.append((o, 4, None, None))
+    state.update((
+        float("nan") if prev_ts is None else prev_ts,
+        sorted(known_paths), sorted(known_values), sorted(known_combos),
+    ))
+    yield pd.DataFrame(out, columns=["ingest_order", "rank", "prev_ts", "new_paths"])
+
+
+def streaming_dispatch_pipeline(
+    stream: DataFrame, key_col: str | None = None
+) -> DataFrame:
+    """True-streaming multi-detector pipeline over a parsed atom stream:
+    SimpleUnparsedAtomHandler → TimestampsUnsortedDetector →
+    NewMatchPathDetector → NewMatchPathValue(Combo)Detector with all
+    detector state in the Spark state store, one applyInPandasWithState.
+
+    Input columns: ``ingest_order long`` (total order within the stream
+    key), ``ts double`` (atom time), ``parse_ok boolean``, ``paths
+    array<string>`` (the atom's match-dictionary paths in model order),
+    ``value string`` / ``combo string`` (the configured detector targets;
+    null = atom not in that detector's scope). Output: decision rows
+    ``(ingest_order, rank, prev_ts, new_paths)`` where rank is the handler
+    registration order (0=unparsed … 4=new combo).
+
+    ``key_col`` is the log-resource/stream identity (the reference is a
+    single sequential stream per process; at scale one key per resource
+    keeps state partitioned while each key replays the exact reference
+    semantics). None = one global stream."""
+    if key_col is None:
+        stream = stream.withColumn("_stream_key", F.lit("all"))
+        key_col = "_stream_key"
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _dispatch_fn,
+        DISPATCH_OUTPUT_SCHEMA,
+        DISPATCH_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 CLUSTER_OUTPUT_SCHEMA = "id string, w long, dist double"
 CLUSTER_STATE_SCHEMA = (
     "bt array<string>, bc array<long>, w long, ct array<string>, cc array<long>"

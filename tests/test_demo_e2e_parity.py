@@ -219,6 +219,142 @@ def test_demo_e2e_stream_matches_reference_golden(spark):
     assert got == want
 
 
+def test_demo_e2e_structured_streaming_micro_batches_match_reference_golden(
+    spark, tmp_path
+):
+    """The SAME reference golden, reproduced through Structured Streaming:
+    the corpus arrives as three files / three micro-batches (readStream +
+    maxFilesPerTrigger=1) and the whole detector pipeline runs as ONE
+    applyInPandasWithState operator (streaming_dispatch_pipeline) whose
+    learned sets and prev-timestamp live in the Spark state store across
+    batch boundaries. Certifies that the byte-parity demonstrated batch-side
+    holds under micro-batch execution with detector state crossing batches
+    mid-corpus (new values learned in batch 1 must not re-emit in batch 3,
+    an unsorted timestamp must compare against a prev_ts from an earlier
+    batch)."""
+    from logdata_anomaly_miner_spark.streaming.state import (
+        streaming_dispatch_pipeline,
+    )
+
+    with open(os.path.join(E2E, "reference_stream.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+
+    parsed = (
+        read_text_lines(spark, os.path.join(E2E, "corpus.log"))
+        .transform(lambda df: P.parse(df, "raw", _model()))
+        .withColumn(
+            "atom_ts",
+            F.coalesce(F.unix_timestamp("DTM").cast("double"), F.lit(FROZEN)),
+        )
+        .localCheckpoint()
+    )
+    du_arr = F.array(*[F.lit(p) for p in DU_PATHS])
+    hp_arr = F.array(*[F.lit(p) for p in HP_PATHS])
+    atoms = parsed.select(
+        "ingest_order",
+        F.col("atom_ts").alias("ts"),
+        F.col("_parse_ok").alias("parse_ok"),
+        F.when(F.col("DTM").isNotNull(), du_arr)
+        .when(F.col("_parse_ok"), hp_arr)
+        .alias("paths"),
+        F.col("Username").alias("value"),
+        F.when(
+            F.col("Username").isNotNull(),
+            F.concat_ws("\x1f", F.col("Username"), F.col("Path")),
+        ).alias("combo"),
+    )
+    n = atoms.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, (lo, hi) in enumerate([(0, cut1), (cut1, cut2), (cut2, n + 1)]):
+        stage = str(tmp_path / f"stage{i}")
+        atoms.filter(
+            (F.col("ingest_order") >= lo) & (F.col("ingest_order") < hi)
+        ).coalesce(1).write.parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = in_dir / f"{i:02d}.parquet"
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(atoms.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    decisions_stream = streaming_dispatch_pipeline(stream)
+    query = (
+        decisions_stream.writeStream.format("memory")
+        .queryName("demo1_streaming_decisions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        batches = [
+            p for p in query.recentProgress if p["numInputRows"] > 0
+        ]
+        assert len(batches) >= 3, "corpus must span >=3 micro-batches"
+    finally:
+        query.stop()
+
+    dec = spark.table("demo1_streaming_decisions").join(parsed, "ingest_order")
+    text = (
+        F.when(
+            F.col("rank") == 0,
+            F.concat(
+                _fmt(F.lit(FROZEN)),
+                F.lit(' Unparsed atom received\nSimpleUnparsedAtomHandler: "UnparsedHandler" (1 lines)\n  '),
+                F.col("raw"), F.lit("\n\n"),
+            ),
+        )
+        .when(
+            F.col("rank") == 1,
+            F.concat(
+                _fmt(F.col("atom_ts")), F.lit(" Timestamp "), _fmt(F.col("atom_ts")),
+                F.lit(" below "), _fmt(F.col("prev_ts")),
+                F.lit('\nTimestampsUnsortedDetector: "Unsorted" (1 lines)\n'),
+                _match_dict_block(indent_first=True),
+                F.lit("\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+            ),
+        )
+        .when(
+            F.col("rank") == 2,
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(' New path(es) detected\nNewMatchPathDetector: "NewPath" (1 lines)\n'),
+                _match_dict_block(indent_first=True),
+                F.lit("\n['"),
+                F.concat_ws("', '", F.col("new_paths")),
+                F.lit("']\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+            ),
+        )
+        .when(
+            F.col("rank") == 3,
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(' New value(s) detected\nNewMatchPathValueDetector: "NewValue" (1 lines)\n'),
+                F.lit("  {'/model/HomePath/Username': '"), F.col("Username"),
+                F.lit("'}\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(' New value combination(s) detected\nNewMatchPathValueComboDetector: "NewValueCombo" (1 lines)\n'),
+                F.lit("  (b'"), F.col("Username"), F.lit("', b'"), F.col("Path"),
+                F.lit("')\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+            )
+        )
+    )
+    rows = dec.select("ingest_order", "rank", text.alias("text")).orderBy(
+        "ingest_order", "rank"
+    ).collect()
+    got = "".join(r["text"] for r in rows)
+    assert got == want
+
+
 REFERENCE_LIB = "/root/reference/source/root/usr/lib/logdata-anomaly-miner"
 
 
