@@ -25,12 +25,9 @@ from pyspark.sql import functions as F
 from logdata_anomaly_miner_spark.constraints.drift import histogram, psi_kl
 from logdata_anomaly_miner_spark.constraints.referential import dangling_media_refs
 from logdata_anomaly_miner_spark.constraints.uniqueness import duplicate_keys_salted
-from logdata_anomaly_miner_spark.constraints.schema_checks import (
-    media_kind_consistency,
-    offsets_monotonic,
-    required_non_null,
-    unknown_kinds,
-)
+# NOTE: the four schema checks (constraints/schema_checks.py) are inlined
+# into the merged single-scan branch below, predicate-for-predicate — the
+# standalone functions remain the unit-tested reference implementations.
 from logdata_anomaly_miner_spark.datagen import KINDS, explode_spans
 from logdata_anomaly_miner_spark.operators.entropy import (
     check_entropy,
@@ -116,11 +113,25 @@ def run_suite(
     if persist:
         docs = docs.persist()
     # partition rides along through posexplode — no join needed (a join here
-    # would shuffle |spans| rows and break under duplicate doc_ids anyway)
-    flat = docs.select("doc_id", "ts", "partition", F.posexplode("spans").alias("ord", "span")).select(
+    # would shuffle |spans| rows and break under duplicate doc_ids anyway).
+    # doc_bad (offsets_monotonic's array-local predicate) is computed BEFORE
+    # the explode, on the intact spans array, and rides along so the merged
+    # single-scan check branch below can emit the doc-level violation at
+    # ord == 0 without a second pass over the table.
+    spans_col = F.col("spans")
+    doc_bad = (F.size(spans_col) >= 2) & F.exists(
+        F.sequence(F.lit(1), F.size(spans_col) - 1),
+        lambda i: F.element_at(spans_col, i + 1)["offset"]
+        <= F.element_at(spans_col, i)["offset"],
+    )
+    flat = docs.select(
+        "doc_id", "ts", "partition", doc_bad.alias("doc_bad"),
+        F.posexplode("spans").alias("ord", "span"),
+    ).select(
         "doc_id",
         "ts",
         "partition",
+        "doc_bad",
         "ord",
         F.col("span.kind").alias("kind"),
         F.col("span.text").alias("text"),
@@ -149,21 +160,91 @@ def run_suite(
         )
     )
 
-    # 2. referential integrity of media_ref: the dangling-ref SET comes from
-    # a nested-pruned scan (only spans.media_ref read), then a broadcast
-    # semi-join picks up the violating span rows from the shared view
+    # 2+3+5-pickup. ONE scan for every per-row check (round 6): the
+    # referential pickup, all four schema checks, and the entropy-failure
+    # pickup used to be SIX separate branches of the union — six parquet
+    # scans each decoding the full nested spans column under persist=False.
+    # The profile is scan-dominated and this host's scaling loss is
+    # memory-bandwidth contention (BENCH/NOTES.md), so the row-local checks
+    # now evaluate together in one projection over one scan: each span
+    # builds a (suite, message, doc_level) failure array, empties drop out
+    # via explode. The two set-membership checks (dangling refs, entropy
+    # failures) become broadcast LEFT joins with marker columns — both sets
+    # are distinct-keyed, so join multiplicity is exactly 1 and the row
+    # multiset is identical to the former semi-join branches. Semantics of
+    # each predicate are byte-identical to constraints/schema_checks.py
+    # (including null-kind behavior: a null `when` condition emits nothing,
+    # exactly as the former `filter` dropped null predicates).
+    # The dangling-ref SET itself still comes from a separate nested-PRUNED
+    # scan (only spans.media_ref read — see dangling_media_refs), which is
+    # why it is not folded into this full-decode scan.
     dangling = dangling_media_refs(docs, media)
-    dangling_rows = flat.join(F.broadcast(dangling), "media_ref", "left_semi")
-    checks.append(_viol(dangling_rows, "referential", "Dangling media_ref"))
 
-    # 3. schema checks
-    checks.append(_viol(unknown_kinds(flat, cfg.kind_vocab), "schema", "Unknown span kind"))
-    checks.append(
-        _viol(required_non_null(flat, ["kind", "offset"]), "schema", "Required field null")
+    # entropy learn/score (former section 5, hoisted: its failing-text set
+    # feeds the merged scan): dedup-before-compute — learn and score over
+    # DISTINCT texts (|distinct| ≪ |spans| for natural corpora). Learning
+    # from distinct values ≙ the reference's skip_repetitions mode
+    # (EntropyDetector.py:170-174). texts is persisted regardless of the
+    # `persist` flag: the set is consumed twice (learner collect + scorer
+    # pass) and is far smaller than re-scanning + re-deduplicating.
+    texts = (
+        flat.filter(F.col("text").isNotNull()).select("text").dropDuplicates().persist()
     )
-    checks.append(_viol(offsets_monotonic(docs), "schema", "Offset not increasing"))
+    freq = cfg.entropy_freq
+    if freq is None:
+        freq, _ = learn_bigram_freq(texts, "text")
+    scored_texts = score_entropy_pandas(spark, texts, "text", freq)
+    bad_texts = check_entropy(scored_texts, cfg.entropy_prob_thresh).select("text")
+
+    marked = flat.join(
+        F.broadcast(dangling.withColumn("_dangling", F.lit(True))),
+        "media_ref", "left",
+    ).join(
+        F.broadcast(bad_texts.withColumn("_bad_text", F.lit(True))),
+        "text", "left",
+    )
+    _f = lambda suite, message, doc_level=False: F.struct(  # noqa: E731
+        F.lit(suite).alias("suite"),
+        F.lit(message).alias("message"),
+        F.lit(doc_level).alias("doc_level"),
+    )
+    failures = F.filter(
+        F.array(
+            F.when(F.col("_dangling"), _f("referential", "Dangling media_ref")),
+            F.when(~F.col("kind").isin(*cfg.kind_vocab), _f("schema", "Unknown span kind")),
+            F.when(
+                F.col("kind").isNull() | F.col("offset").isNull(),
+                _f("schema", "Required field null"),
+            ),
+            F.when(
+                F.col("doc_bad") & (F.col("ord") == 0),
+                _f("schema", "Offset not increasing", doc_level=True),
+            ),
+            F.when(
+                F.col("media_ref").isNotNull()
+                & ~F.col("kind").isin("image", "audio", "video"),
+                _f("schema", "media_ref on non-media kind"),
+            ),
+            F.when(F.col("_bad_text"), _f("entropy", "Value entropy anomaly detected")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    span_str = lambda c: F.when(  # noqa: E731
+        ~F.col("f.doc_level"), F.col(c).cast("string")
+    )
     checks.append(
-        _viol(media_kind_consistency(flat), "schema", "media_ref on non-media kind")
+        marked.select(
+            "partition", "doc_id", "kind", "text", "media_ref",
+            F.explode(failures).alias("f"),
+        ).select(
+            F.col("f.suite").alias("suite"),
+            F.col("f.message").alias("message"),
+            F.col("partition"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            span_str("kind").alias("kind"),
+            span_str("text").alias("value"),
+            span_str("media_ref").alias("media_ref"),
+        )
     )
 
     # 4. novelty: first occurrence of unseen (kind, text). Shuffle carries
@@ -193,27 +274,6 @@ def run_suite(
             nv_src, ["kind", "text"], cfg.known_kind_text, order_cols=["ts", "doc_id"]
         )
     checks.append(_viol(nv, "new_value", "New value(s) detected"))
-
-    # 5. entropy: dedup-before-compute — learn and score over DISTINCT texts
-    # (|distinct| ≪ |spans| for natural corpora), then pick up the violating
-    # spans with a broadcast semi-join on the (small) failing-text set.
-    # Learning from distinct values ≙ the reference's skip_repetitions mode
-    # (EntropyDetector.py:170-174).
-    # persist the distinct texts regardless of the `persist` flag: the set
-    # is consumed twice (learner collect + scorer pass) and is far smaller
-    # than re-scanning + re-deduplicating the span view each time
-    texts = (
-        flat.filter(F.col("text").isNotNull()).select("text").dropDuplicates().persist()
-    )
-    freq = cfg.entropy_freq
-    if freq is None:
-        freq, _ = learn_bigram_freq(texts, "text")
-    scored_texts = score_entropy_pandas(spark, texts, "text", freq)
-    bad_texts = check_entropy(scored_texts, cfg.entropy_prob_thresh).select("text")
-    entropy_rows = flat.join(F.broadcast(bad_texts), "text", "left_semi")
-    checks.append(
-        _viol(entropy_rows, "entropy", "Value entropy anomaly detected")
-    )
 
     # 6. drift: text-length distribution vs baseline histogram, per kind
     lens = flat.withColumn("text_len", F.length("text").cast("double"))
