@@ -30,6 +30,53 @@ def test_datagen_shape(spark):
     assert offsets_monotonic(broken).count() == 1
 
 
+def test_merged_scan_matches_standalone_schema_checks(spark):
+    """Drift guard for the round-6 single-scan check branch: the suite's
+    inlined per-span predicates must stay predicate-for-predicate equal to
+    the standalone reference implementations in constraints/schema_checks.py
+    — compared on a corpus with every schema violation class planted
+    (unknown kind, null kind, null offset, media_ref on a text kind,
+    non-monotonic offsets)."""
+    from logdata_anomaly_miner_spark.constraints.schema_checks import (
+        media_kind_consistency,
+        offsets_monotonic,
+        required_non_null,
+        unknown_kinds,
+    )
+    from logdata_anomaly_miner_spark.datagen import KINDS
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", 100.0, [("text", "ok", None, 0), ("blob", "x", None, 5)]),
+            ("d2", 200.0, [(None, "y", None, 0), ("text", "z", None, None)]),
+            ("d3", 300.0, [("text", "m", "media-1", 0)]),
+            ("d4", 400.0, [("text", "a", None, 5), ("text", "b", None, 3)]),
+            ("d5", 500.0, [("image", None, "media-9", 0)]),
+        ],
+        "doc_id string, ts double, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    media = gen_media(spark, 10)
+    res = run_suite(spark, docs, media, SuiteConfig(entropy_prob_thresh=0.0), persist=False)
+    got = {
+        (r["message"],): r["n"]
+        for r in res.violations.filter("suite = 'schema'")
+        .groupBy("message").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    flat = explode_spans(docs)
+    want = {
+        ("Unknown span kind",): unknown_kinds(flat, tuple(KINDS)).count(),
+        ("Required field null",): required_non_null(flat, ["kind", "offset"]).count(),
+        ("Offset not increasing",): offsets_monotonic(docs).count(),
+        ("media_ref on non-media kind",): media_kind_consistency(flat).count(),
+    }
+    want = {k: v for k, v in want.items() if v > 0}
+    assert got == want
+    assert got[("Unknown span kind",)] == 1      # blob
+    assert got[("Required field null",)] == 2    # null kind + null offset
+    assert got[("Offset not increasing",)] == 1  # d4
+    assert got[("media_ref on non-media kind",)] == 1  # d3
+
+
 def test_suite_finds_planted_violations(spark):
     docs = gen_documents(spark, n_docs=1000, dup_rate=0.02, dangling_rate=0.1)
     media = gen_media(spark, 1000)
