@@ -28,7 +28,7 @@ from logdata_anomaly_miner_spark.constraints.uniqueness import duplicate_keys_sa
 # NOTE: the four schema checks (constraints/schema_checks.py) are inlined
 # into the merged single-scan branch below, predicate-for-predicate — the
 # standalone functions remain the unit-tested reference implementations.
-from logdata_anomaly_miner_spark.datagen import KINDS, explode_spans
+from logdata_anomaly_miner_spark.datagen import KINDS
 from logdata_anomaly_miner_spark.operators.entropy import (
     check_entropy,
     learn_bigram_freq,

@@ -257,8 +257,9 @@ DISPATCH_STATE_SCHEMA = (
 def _dispatch_fn(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
-    """The reference's AnalysisChild dispatch loop (dispatch_atom →
-    SubhandlerFilter walking its handler list, AnalysisChild.py) as ONE
+    """The reference's AnalysisChild dispatch loop (aminer/AnalysisChild.py:
+    298-408, dispatch via SubhandlerFilter walking its handler list,
+    aminer/analysis/AtomFilters.py:18-54) as ONE
     stateful streaming operator: per stream-key, the learned sets of four
     detectors live together in the Spark state store and every atom is
     checked-then-learned in handler registration order. Emits decision rows
