@@ -37,6 +37,35 @@ def violation_cols(
     ]
 
 
+def format_event_lines(
+    df: DataFrame, component_name: str = "None", loglines_col: str = "loglines"
+) -> DataFrame:
+    """format_event generalized to N loglines: renders the StreamPrinter
+    golden with ``({n} lines)`` and one two-space-indented line per element
+    of ``loglines_col`` (array<string>), exactly EventData.receive_event_
+    string's loop (aminer/events/EventData.py:66-75 — empty lines skipped,
+    each line newline-terminated, plus StreamPrinter's closing newline)."""
+    ts_str = F.from_unixtime(F.col("ts").cast("long"), "yyyy-MM-dd HH:mm:ss")
+    lines = F.filter(F.col(loglines_col), lambda l: l != F.lit(""))
+    return df.withColumn(
+        "event_text",
+        F.concat(
+            ts_str,
+            F.lit(" "),
+            F.col("message"),
+            F.lit("\n"),
+            F.col("detector"),
+            F.lit(f': "{component_name}" ('),
+            F.size(lines).cast("string"),
+            F.lit(" lines)\n"),
+            F.concat_ws(
+                "", F.transform(lines, lambda l: F.concat(F.lit("  "), l, F.lit("\n")))
+            ),
+            F.lit("\n"),
+        ),
+    )
+
+
 def format_event(df: DataFrame, component_name: str = "None") -> DataFrame:
     """Render violations in the reference StreamPrinter golden format.
 

@@ -12,6 +12,12 @@ Re-expresses the reference input layer (semantics, not code):
 - UnparsedAtomHandlers (aminer/analysis/UnparsedAtomHandlers.py:23-77):
   unparsed atoms are first-class → every reader emits `_parse_ok` and the
   violations pipeline filters `~_parse_ok`.
+- UnixSocketLogDataResource (aminer/input/LogStream.py:177-264): AF_UNIX
+  stream ingress ≙ ``UnixSocketResource`` (same open/fill_buffer/
+  update_position contract) + ``spool_unix_socket``: the driver-side pump
+  drains the socket into spool files that the (streaming) file reader
+  consumes — a socket is a single-node ingress; Spark parallelism starts
+  at the spool.
 """
 
 from __future__ import annotations
@@ -169,6 +175,155 @@ def read_log_resources(
             df = fn(df, "raw")
         frames.append(df)
     return multisource_union(frames)
+
+
+class UnixSocketResource:
+    """AF_UNIX stream log resource — UnixSocketLogDataResource parity
+    (aminer/input/LogStream.py:177-264): name must be ``b'unix://<path>'``;
+    ``open`` connects (returning False when the endpoint is absent/refusing,
+    so the caller may retry), reopen works only after end-of-stream;
+    ``fill_buffer`` appends up to ``default_buffer_size`` bytes and returns
+    the count (0 = EOF); ``update_position`` consumes from the front;
+    repositioning data is None (a socket cannot seek)."""
+
+    def __init__(
+        self,
+        log_resource_name: bytes,
+        log_stream_fd: int = -1,
+        default_buffer_size: int = 1 << 16,
+    ):
+        if not log_resource_name.startswith(b"unix://"):
+            raise ValueError("unix socket resource name must start with unix://")
+        self.log_resource_name = log_resource_name
+        self.log_stream_fd = log_stream_fd
+        self.buffer = b""
+        self.default_buffer_size = default_buffer_size
+        self.total_consumed_length = 0
+
+    def open(self, reopen_flag: bool = False) -> bool:
+        import errno
+        import os
+        import socket
+
+        if reopen_flag:
+            if self.log_stream_fd != -1:
+                return False
+        elif self.log_stream_fd != -1:
+            raise OSError("cannot reopen stream still open when not instructed")
+        sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        try:
+            sock.connect(self.log_resource_name[7:].decode())
+        except OSError as e:
+            sock.close()
+            if e.errno in (errno.ENOENT, errno.ECONNREFUSED):
+                return False
+            raise
+        self.log_stream_fd = os.dup(sock.fileno())
+        sock.close()
+        return True
+
+    def get_resource_name(self) -> bytes:
+        return self.log_resource_name
+
+    def get_file_descriptor(self) -> int:
+        return self.log_stream_fd
+
+    def fill_buffer(self) -> int:
+        import os
+
+        data = os.read(self.log_stream_fd, self.default_buffer_size)
+        self.buffer += data
+        return len(data)
+
+    def update_position(self, length: int) -> None:
+        self.total_consumed_length += length
+        self.buffer = self.buffer[length:]
+
+    def get_repositioning_data(self):
+        return None
+
+    def close(self) -> None:
+        import os
+
+        os.close(self.log_stream_fd)
+        self.log_stream_fd = -1
+
+
+def spool_unix_socket(
+    resource: UnixSocketResource,
+    spool_dir: str,
+    roll_bytes: int = 1 << 20,
+    max_fills: int | None = None,
+) -> int:
+    """Pump a connected UnixSocketResource into newline-complete spool files
+    under ``spool_dir`` (``spool-<seq>.log``), rolling at ``roll_bytes``.
+    Only complete lines are spooled — the trailing partial line stays in the
+    resource buffer (update_position consumes exactly what was written),
+    mirroring how the reference's atomizer consumes the stream. Returns the
+    number of bytes spooled; on EOF the socket is closed. The streaming file
+    reader (``read_text_lines(streaming=True)`` on ``spool_dir``) picks the
+    files up as micro-batches."""
+    import os
+
+    os.makedirs(spool_dir, exist_ok=True)
+    seq = sum(1 for n in os.listdir(spool_dir) if n.startswith("spool-"))
+    spooled = 0
+    pending = b""
+
+    def flush() -> None:
+        nonlocal seq, spooled, pending
+        path = os.path.join(spool_dir, f"spool-{seq:08d}.log")
+        with open(path, "wb") as fh:
+            fh.write(pending)
+        seq += 1
+        spooled += len(pending)
+        pending = b""
+
+    fills = 0
+    while max_fills is None or fills < max_fills:
+        n = resource.fill_buffer()
+        fills += 1
+        if n == 0:
+            # end of stream: the trailing incomplete line becomes a final
+            # atom, as ByteStreamLineAtomizer does on stream end
+            # (aminer/input/ByteStreamLineAtomizer.py consume_data end_of_
+            # stream_flag handling)
+            if resource.buffer:
+                pending += resource.buffer + b"\n"
+                resource.update_position(len(resource.buffer))
+            resource.close()
+            break
+        cut = resource.buffer.rfind(b"\n")
+        if cut < 0:
+            continue
+        pending += resource.buffer[: cut + 1]
+        resource.update_position(cut + 1)
+        if len(pending) >= roll_bytes:
+            flush()
+    if pending:
+        flush()
+    return spooled
+
+
+def read_unix_socket_lines(
+    spark: SparkSession,
+    socket_path: str,
+    spool_dir: str,
+    max_line_length: int | None = None,
+) -> DataFrame:
+    """Batch convenience: connect to ``unix://socket_path``, drain to EOF
+    into ``spool_dir``, and return the atom frame (read_text_lines columns)
+    tagged with the socket resource name."""
+    res = UnixSocketResource(b"unix://" + socket_path.encode())
+    if not res.open():
+        raise OSError(f"unix socket {socket_path} absent or refusing")
+    spool_unix_socket(res, spool_dir)
+    return read_text_lines(
+        spark,
+        spool_dir,
+        max_line_length=max_line_length,
+        source_tag="unix://" + socket_path,
+    )
 
 
 def multisource_union(sources: list[DataFrame]) -> DataFrame:
