@@ -42,24 +42,37 @@ def format_event_lines(
 ) -> DataFrame:
     """format_event generalized to N loglines: renders the StreamPrinter
     golden with ``({n} lines)`` and one two-space-indented line per element
-    of ``loglines_col`` (array<string>), exactly EventData.receive_event_
-    string's loop (aminer/events/EventData.py:66-75 — empty lines skipped,
-    each line newline-terminated, plus StreamPrinter's closing newline)."""
+    of ``loglines_col`` (array<string>), matching EventData.receive_event_
+    string's bytes-logline branch (aminer/events/EventData.py:60-75): the
+    header counts ALL loglines, the body skips empty ones, each body line
+    is newline-terminated, plus StreamPrinter's closing newline. (The
+    reference's str-logline branch additionally leaves lines starting with
+    the configured log-line prefix unindented — not reproduced here.)
+    Null-safe: a null array renders as 0 lines, null message/detector as
+    empty strings, so event_text is never NULL."""
     ts_str = F.from_unixtime(F.col("ts").cast("long"), "yyyy-MM-dd HH:mm:ss")
-    lines = F.filter(F.col(loglines_col), lambda l: l != F.lit(""))
+    all_lines = F.coalesce(
+        F.col(loglines_col), F.array().cast("array<string>")
+    )
+    body_lines = F.filter(
+        all_lines, lambda l: l.isNotNull() & (l != F.lit(""))
+    )
     return df.withColumn(
         "event_text",
         F.concat(
-            ts_str,
+            F.coalesce(ts_str, F.lit("")),
             F.lit(" "),
-            F.col("message"),
+            F.coalesce(F.col("message"), F.lit("")),
             F.lit("\n"),
-            F.col("detector"),
+            F.coalesce(F.col("detector"), F.lit("")),
             F.lit(f': "{component_name}" ('),
-            F.size(lines).cast("string"),
+            F.size(all_lines).cast("string"),
             F.lit(" lines)\n"),
             F.concat_ws(
-                "", F.transform(lines, lambda l: F.concat(F.lit("  "), l, F.lit("\n")))
+                "",
+                F.transform(
+                    body_lines, lambda l: F.concat(F.lit("  "), l, F.lit("\n"))
+                ),
             ),
             F.lit("\n"),
         ),

@@ -125,15 +125,23 @@ def emit_syslog(
     send,
     text_col: str = "event_text",
     start_event_id: int = 0,
-    announce: bool = True,
+    announce: bool | None = None,
 ) -> int:
     """SyslogWriterEventHandler analog with the transport injected:
     ``send(priority, message)`` is ``syslog.syslog`` in production, a test
-    double for byte-parity. Emits the reference's init record then each
-    event's chunk records with sequential event ids. Like ``emit_events``
-    the loop is driver-side single-threaded — exactly the reference handler
-    shape — and the volume is violations, not the corpus. Returns the next
-    event id (so successive calls continue the sequence)."""
+    double for byte-parity. Emits the reference's one-time init record
+    (handler construction) then each event's chunk records with sequential
+    event ids. Like ``emit_events`` the loop is driver-side single-threaded
+    — exactly the reference handler shape — and the volume is violations,
+    not the corpus. Returns the next event id; continuation calls pass it
+    as ``start_event_id`` and by default skip the init record
+    (``announce`` defaults to ``start_event_id == 0``).
+
+    ORDER-SENSITIVE: event ids are assigned in iteration order, so pass a
+    sorted frame (``orderBy(...)``) — a multi-partition frame without a
+    sort iterates in nondeterministic partition order."""
+    if announce is None:
+        announce = start_event_id == 0
     if announce:
         send(LOG_INFO, "Syslog logger initialized")
     event_id = start_event_id
@@ -269,7 +277,11 @@ def collect_mail_alerts(
     """Feed rendered events (StreamPrinter form, trailing blank line) into a
     MailAlertCollector — the Spark-side glue for the mail sink. Driver-side
     by design: a mail alerter is a single egress point, and the volume is
-    violations, not the corpus."""
+    violations, not the corpus.
+
+    ORDER-SENSITIVE: the pooled message concatenates in iteration order, so
+    pass a sorted frame — a multi-partition frame without a sort iterates
+    in nondeterministic partition order."""
     for r in df.select(text_col).toLocalIterator():
         # StreamPrinter events end with a blank line; EventData strings
         # end each line with exactly one newline

@@ -212,7 +212,9 @@ class UnixSocketResource:
             raise OSError("cannot reopen stream still open when not instructed")
         sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         try:
-            sock.connect(self.log_resource_name[7:].decode())
+            # connect with the raw bytes path (as the reference does) —
+            # Linux socket paths need not be valid UTF-8
+            sock.connect(self.log_resource_name[7:])
         except OSError as e:
             sock.close()
             if e.errno in (errno.ENOENT, errno.ECONNREFUSED):
@@ -266,7 +268,14 @@ def spool_unix_socket(
     import os
 
     os.makedirs(spool_dir, exist_ok=True)
-    seq = sum(1 for n in os.listdir(spool_dir) if n.startswith("spool-"))
+    # next index = max existing + 1, so gaps (consumed/archived files)
+    # never cause an existing spool file to be overwritten
+    existing = [
+        int(n[6:14])
+        for n in os.listdir(spool_dir)
+        if n.startswith("spool-") and n[6:14].isdigit()
+    ]
+    seq = max(existing) + 1 if existing else 0
     spooled = 0
     pending = b""
 

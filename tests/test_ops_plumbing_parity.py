@@ -99,6 +99,15 @@ def _ref_events():
             [b"short line"],
             atom(b"short line"),
         ),
+        (
+            # EventData counts ALL loglines in the header but skips empty
+            # ones in the body (EventData.py:60-68) — header says 2 lines,
+            # body renders 1
+            "Analysis.ParitySource",
+            "Empty-logline event",
+            [b"kept line", b""],
+            atom(b"kept line"),
+        ),
     ]
 
 
@@ -141,6 +150,35 @@ def test_syslog_writer_byte_parity(spark, monkeypatch):
     assert next_id == len(events)
     # the overlong event produced >2 chunks and continuation tags
     assert any("-2]" in msg for _, msg in captured_spark)
+    # the empty-logline event (eid 3): header counts both lines, body
+    # renders only the non-empty one
+    msgs = [m for _, m in captured_spark]
+    assert '[3-1] ParitySource: "ParityComponent" (2 lines)' in msgs
+    assert "[3-2]   kept line" in msgs
+    assert not any(m.startswith("[3-3]") for m in msgs)
+
+    # continuation call: ids continue, no second init record
+    more = emit_syslog(
+        rendered.limit(1), lambda pri, msg: captured_spark.append((pri, msg)),
+        start_event_id=next_id,
+    )
+    assert more == next_id + 1
+    assert captured_spark.count((LOG_INFO, "Syslog logger initialized")) == 1
+    assert any(msg.startswith(f"[{next_id}] ") for _, msg in captured_spark)
+
+
+def test_format_event_lines_null_safe(spark):
+    """Null loglines/message/detector must not yield NULL event_text (which
+    would crash the driver-side sinks mid-stream)."""
+    df = spark.createDataFrame(
+        [(0, None, None, FROZEN, None)],
+        "eid int, detector string, message string, ts double, loglines array<string>",
+    )
+    out = format_event_lines(df, "C").collect()[0]["event_text"]
+    assert out is not None and "(0 lines)" in out
+    sent = []
+    emit_syslog(format_event_lines(df, "C"), lambda p, m: sent.append(m))
+    assert len(sent) >= 2  # init + at least one chunk
 
 
 def test_syslog_chunks_unit():
@@ -354,3 +392,31 @@ def test_unix_socket_spool_to_spark(spark, unix_server, tmp_path):
     want = PAYLOAD.decode().split("\n")
     assert [r["raw"] for r in rows] == want
     assert [r["overlong"] for r in rows] == [False, False, False, True, False]
+
+
+def test_spool_seq_survives_gaps(tmp_path):
+    """Spool numbering is max+1, so consumed/archived files (gaps) never
+    cause an overwrite of surviving spool files."""
+
+    class FakeResource:
+        buffer = b""
+        fills = iter([b"new data\n", b""])
+
+        def fill_buffer(self):
+            data = next(self.fills)
+            self.buffer += data
+            return len(data)
+
+        def update_position(self, n):
+            self.buffer = self.buffer[n:]
+
+        def close(self):
+            pass
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    (spool / "spool-00000000.log").write_bytes(b"old0\n")
+    (spool / "spool-00000002.log").write_bytes(b"old2\n")
+    spool_unix_socket(FakeResource(), str(spool))
+    assert (spool / "spool-00000002.log").read_bytes() == b"old2\n"
+    assert (spool / "spool-00000003.log").read_bytes() == b"new data\n"
