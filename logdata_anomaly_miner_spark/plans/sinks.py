@@ -152,6 +152,21 @@ def emit_syslog(
     return event_id
 
 
+def emit_syslog_stream(json_df: DataFrame, send, order_col: str = "ingest_order"):
+    """Streaming emit_syslog: one foreachBatch emitter per micro-batch,
+    event ids continuing across batches (the init record is emitted once,
+    with the first batch). Each micro-batch is sorted by ``order_col`` so
+    the id assignment is deterministic. Returns the started query."""
+    state = {"next_id": 0}
+
+    def _emit(batch: DataFrame, _id: int) -> None:
+        state["next_id"] = emit_syslog(
+            batch.orderBy(order_col), send, start_event_id=state["next_id"]
+        )
+
+    return json_df.writeStream.foreachBatch(_emit).start()
+
+
 _MAIL_TEMPLATE = "From: %s\nTo: %s\nSubject: %s\n\n%s\n"
 
 
@@ -286,6 +301,17 @@ def collect_mail_alerts(
         # StreamPrinter events end with a blank line; EventData strings
         # end each line with exactly one newline
         collector.receive_event(r[text_col].rstrip("\n") + "\n")
+
+
+def collect_mail_alerts_stream(
+    df: DataFrame, collector: MailAlertCollector, order_col: str = "ingest_order"
+):
+    """Streaming collect_mail_alerts: micro-batches feed the (stateful)
+    collector in order; the collector's own clock/gap machine decides when
+    a batch boundary flushes mail. Returns the started query."""
+    return df.writeStream.foreachBatch(
+        lambda batch, _id: collect_mail_alerts(batch.orderBy(order_col), collector)
+    ).start()
 
 
 def score_events(

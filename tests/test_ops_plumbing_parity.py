@@ -20,6 +20,7 @@ import time as time_mod
 import types
 
 import pytest
+from pyspark.sql import functions as F
 
 from logdata_anomaly_miner_spark.operators.base import format_event_lines
 from logdata_anomaly_miner_spark.plans.sinks import (
@@ -293,6 +294,42 @@ def test_mail_collector_spark_glue(spark):
     assert len(captured) == 1
     body = captured[0][2].split("\n\n", 1)[1]
     assert body.count("(1 lines)") == 2 and "\n\n" not in body.rstrip("\n")
+
+
+def test_emit_syslog_stream_continues_ids(spark, tmp_path):
+    """Streaming syslog sink: event ids continue across micro-batches and
+    the init record is emitted exactly once (first batch)."""
+    import time
+
+    from logdata_anomaly_miner_spark.plans.sinks import emit_syslog_stream
+
+    schema = "eid int, detector string, message string, ts double, loglines array<string>"
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "D", "m0", FROZEN, ["a"]), (1, "D", "m1", FROZEN, ["b"])], schema
+    ).coalesce(1).write.parquet(f"{d}/in/f1")
+    time.sleep(1.1)  # distinct mod times -> deterministic batch order
+    spark.createDataFrame([(2, "D", "m2", FROZEN, ["c"])], schema).coalesce(
+        1
+    ).write.parquet(f"{d}/in/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/in/*")
+    )
+    rendered = format_event_lines(stream, "C").withColumn(
+        "ingest_order", F.col("eid")
+    )
+    sent: list[tuple[int, str]] = []
+    q = emit_syslog_stream(rendered, lambda pri, msg: sent.append((pri, msg)))
+    q.processAllAvailable()
+    q.stop()
+
+    msgs = [m for _, m in sent]
+    assert msgs.count("Syslog logger initialized") == 1
+    first_tags = [m.split(" ")[0] for m in msgs if m.startswith("[") and "-" not in m.split(" ")[0]]
+    assert first_tags == ["[0]", "[1]", "[2]"]
 
 
 def test_mail_collector_rejects_bad_address():
