@@ -1,0 +1,222 @@
+"""Byte-parity for the remote-control channel (plans/remote_control.py) vs
+the reference AnalysisChildRemoteControlHandler + execution methods, driven
+live in-process: the reference's own put_execute_request generates each
+request packet, both handlers process the SAME bytes against equivalent
+contexts, and the full RRRR response packets are byte-compared for every
+success and validation-failure branch. (Exception branches compare shape,
+not bytes — tracebacks embed host paths.)
+
+Deliberate deviation, asserted below: the reference exec()s arbitrary
+Python from the socket (AnalysisChild.py:677); this engine parses the
+command and dispatches only registered named methods.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import pytest
+
+from logdata_anomaly_miner_spark.plans.remote_control import (
+    EngineControlContext,
+    RemoteControlHandler,
+)
+
+REFERENCE_LIB = "/root/reference/source/root/usr/lib/logdata-anomaly-miner"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_LIB), reason="reference tree not present"
+)
+
+
+class NewMatchPathValueDetector:
+    """Engine-side stand-in whose CLASS NAME satisfies the reference's
+    allowlistable-class check; allowlist_event mirrors the detector
+    contract (returns the status message)."""
+
+    def __init__(self):
+        self.allowlisted = []
+
+    def allowlist_event(self, event_type, event_data, allowlisting_data):
+        self.allowlisted.append(event_data)
+        return f"Allowlisted path(es) in {event_type}: {event_data}"
+
+
+class PlainComponent:
+    """No allowlist/blocklist support — exercises the FAILURE branches."""
+
+
+def _shim_missing_scientific_modules():
+    """do_process imports the full aminer.analysis namespace
+    (AnalysisChild.py:606), which pulls scipy/statsmodels/kneed — absent in
+    this container. The commands under test never execute those detectors,
+    so placeholder attributes satisfy the imports (same trick as the
+    capture harness's defusedxml shim)."""
+
+    def shim(name, attrs):
+        if name in sys.modules:
+            return
+        mod = types.ModuleType(name)
+        for a in attrs:
+            setattr(mod, a, object())
+        sys.modules[name] = mod
+
+    shim("scipy", [])
+    shim(
+        "scipy.stats",
+        ["kstest", "ks_2samp", "norm", "multinomial", "distributions", "chisquare"],
+    )
+    sys.modules["scipy"].stats = sys.modules["scipy.stats"]
+
+
+def _ref_setup():
+    if REFERENCE_LIB not in sys.path:
+        sys.path.insert(0, REFERENCE_LIB)
+    _shim_missing_scientific_modules()
+    import aminer.AnalysisChild as AC
+
+    fake_sock = types.SimpleNamespace(fileno=lambda: -1, close=lambda: None)
+    handler = AC.AnalysisChildRemoteControlHandler(fake_sock)
+    cfg = types.SimpleNamespace(
+        config_properties={"LogPrefix": "myprefix", "Core.PersistencePeriod": 600}
+    )
+    ctx = AC.AnalysisContext(cfg)
+    ctx.register_component(NewMatchPathValueDetector(), "NVD")
+    ctx.register_component(PlainComponent(), "Plain")
+    ctx.register_component(PlainComponent(), "CompA")
+    return AC, handler, ctx
+
+
+def _eng_setup():
+    handler = RemoteControlHandler()
+    ctx = EngineControlContext(
+        {"LogPrefix": "myprefix", "Core.PersistencePeriod": 600}
+    )
+    ctx.register_component(NewMatchPathValueDetector(), "NVD")
+    ctx.register_component(PlainComponent(), "Plain")
+    ctx.register_component(PlainComponent(), "CompA")
+    return handler, ctx
+
+
+COMMANDS = [
+    "suspend",
+    "suspend_aminer()",
+    "activate_aminer()",
+    'print_config_property(analysis_context, "LogPrefix")',
+    'print_config_property(analysis_context, "Core.PersistencePeriod")',
+    'print_config_property(analysis_context, "Missing.Key")',
+    'change_config_property(analysis_context, "MailAlerting.TargetAddress", "root@localhost")',
+    'change_config_property(analysis_context, "MailAlerting.TargetAddress", "not-an-email")',
+    'change_config_property(analysis_context, "Unknown.Prop", "x")',
+    'change_config_property(analysis_context, "MailAlerting.EventCollectTime", "10")',
+    'change_config_property(analysis_context, "MailAlerting.EventCollectTime", 42)',
+    'change_config_property(analysis_context, "Log.DebugLevel", 7)',
+    'change_config_property(analysis_context, "Resources.MaxMemoryUsage", 16)',
+    'rename_registered_analysis_component(analysis_context, "CompA", "CompB")',
+    'rename_registered_analysis_component(analysis_context, "CompX", "CompY")',
+    'allowlist_event_in_component(analysis_context, "NVD", "/model/path/value")',
+    'allowlist_event_in_component(analysis_context, "Plain", "/model/path/value")',
+    'allowlist_event_in_component(analysis_context, "Ghost", "/model/path/value")',
+    'blocklist_event_in_component(analysis_context, "Plain", "/model/path/value")',
+    'persist_all()',
+]
+
+
+def test_remote_control_byte_parity():
+    AC, ref, ref_ctx = _ref_setup()
+    eng, eng_ctx = _eng_setup()
+
+    for cmd in COMMANDS:
+        # the REFERENCE generates the request bytes; both sides consume them
+        ref.put_execute_request(cmd, None)
+        request = ref.output_buffer
+        ref.output_buffer = b""
+
+        # client-side framing parity
+        eng.put_execute_request(cmd, None)
+        assert eng.output_buffer == request, cmd
+        eng.output_buffer = b""
+
+        ref.input_buffer += request
+        eng.input_buffer += request
+        assert ref.may_get() and eng.may_get()
+        ref.do_process(ref_ctx)
+        eng.do_process(eng_ctx)
+        assert eng.output_buffer == ref.output_buffer, (
+            f"response mismatch for {cmd}:\n ref={ref.output_buffer!r}\n eng={eng.output_buffer!r}"
+        )
+        ref.output_buffer = b""
+        eng.output_buffer = b""
+
+    # state effects converged
+    assert AC.suspended_flag is False and eng_ctx.suspended_flag is False
+    assert (
+        eng_ctx.config_properties["MailAlerting.TargetAddress"] == "root@localhost"
+        == ref_ctx.aminer_config.config_properties["MailAlerting.TargetAddress"]
+    )
+    assert (
+        eng_ctx.config_properties["MailAlerting.EventCollectTime"] == 42
+        == ref_ctx.aminer_config.config_properties["MailAlerting.EventCollectTime"]
+    )
+    assert eng_ctx.get_component_by_name("CompB") is not None
+    assert ref_ctx.get_component_by_name("CompB") is not None
+    assert eng_ctx.get_component_by_name("NVD").allowlisted == ["/model/path/value"]
+    assert ref_ctx.get_component_by_name("NVD").allowlisted == ["/model/path/value"]
+
+
+def test_suspend_activate_state():
+    eng, ctx = _eng_setup()
+    eng.put_execute_request("suspend", None)
+    eng.input_buffer, eng.output_buffer = eng.output_buffer, b""
+    eng.do_process(ctx)
+    assert ctx.suspended_flag is True
+    eng.input_buffer, eng.output_buffer = b"", b""
+    eng.put_execute_request("activate", None)
+    eng.input_buffer, eng.output_buffer = eng.output_buffer, b""
+    eng.do_process(ctx)
+    assert ctx.suspended_flag is False
+
+
+def test_arbitrary_code_is_refused():
+    """The no-exec guarantee: code the reference would happily exec comes
+    back as an exception response and has no side effects."""
+    eng, ctx = _eng_setup()
+    for evil in (
+        "__import__('os').system('true')",
+        "analysis_context.config_properties.clear()",
+        "print_config_property(analysis_context, __import__('os').getcwd())",
+    ):
+        eng.input_buffer, eng.output_buffer = b"", b""
+        eng.put_execute_request(evil, None)
+        eng.input_buffer, eng.output_buffer = eng.output_buffer, b""
+        eng.do_process(ctx)
+        body = eng.output_buffer[8:].decode()
+        assert body.startswith('["Traceback') or body.startswith('["'), evil
+        assert '"Traceback' in body.split(",")[0] or "unsupported" in body
+    assert ctx.config_properties["LogPrefix"] == "myprefix"
+
+
+def test_persist_callback_and_fd_transport(tmp_path):
+    """persist_all reaches the injected callback; the fd path (do_receive/
+    do_send) moves real bytes over a socketpair."""
+    import socket
+
+    calls = []
+    a, b = socket.socketpair()
+    eng = RemoteControlHandler(a)
+    client = RemoteControlHandler(b)
+    ctx = EngineControlContext({}, persist=lambda: calls.append(1))
+
+    client.put_execute_request("persist_all()", None)
+    client.do_send()
+    eng.do_receive()
+    eng.do_process(ctx)
+    eng.do_send()
+    client.do_receive()
+    resp = client.do_get()
+    assert calls == [1]
+    assert resp[4:8] == b"RRRR" and b'"OK"' in resp
+    a.close()
+    b.close()
