@@ -36,13 +36,45 @@ import struct
 import traceback
 
 
+# the reference's printable-byte allowlist (aminer/util/StringUtil.py:85-97
+# encode_byte_string_as_string): everything else — including '%' — escapes
+# to %xx
+_PRINTABLE = frozenset(
+    b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ1234567890"
+    b"!\"#$&'()*+,-./:;<=>?@[]\\^_`{}|~ "
+)
+
+
+def _encode_bytes(byte_string: bytes) -> str:
+    return "".join(
+        chr(b) if b in _PRINTABLE else "%%%02x" % b for b in byte_string
+    )
+
+
+def _decode_bytes(string: str) -> bytes:
+    decoded = b""
+    count = 0
+    while count < len(string):
+        ch = string[count]
+        if ord(ch) in _PRINTABLE:
+            decoded += bytes(ch, "ascii")
+            count += 1
+        elif ch == "%":
+            decoded += bytearray((int(string[count + 1 : count + 3], 16),))
+            count += 3
+        else:
+            raise ValueError("Invalid encoded character")
+    return decoded
+
+
 def encode_object(term):
     """JsonUtil.encode_object (aminer/util/JsonUtil.py:32-55): type-prefixed
-    strings, recursive containers, tuple dict keys stringified."""
+    strings, bytes percent-escaped per StringUtil, recursive containers,
+    tuple dict keys stringified."""
     if isinstance(term, str):
         return "string:" + term
     if isinstance(term, bytes):
-        return "bytes:" + term.decode("utf-8", "surrogateescape")
+        return "bytes:" + _encode_bytes(term)
     if isinstance(term, (list, tuple, set)):
         return [encode_object(i) for i in term]
     if isinstance(term, dict):
@@ -61,7 +93,7 @@ def decode_object(term):
     if isinstance(term, str) and term.startswith("string:"):
         return term[7:]
     if isinstance(term, str) and term.startswith("bytes:"):
-        return term[6:].encode("utf-8", "surrogateescape")
+        return _decode_bytes(term[6:])
     if isinstance(term, list):
         return [decode_object(i) for i in term]
     if isinstance(term, dict):
@@ -220,6 +252,30 @@ class RemoteControlMethods:
             )
             return 1
         analysis_context.config_properties[property_name] = value
+        # propagate onto live mail handlers, mirroring
+        # AminerRemoteControlExecutionMethods.py:108-117's setattr loop over
+        # registered DefaultMailNotificationEventHandler components (the
+        # reference setattr()s the dotted property name verbatim — mirrored
+        # bug-for-bug for such components). For this engine's
+        # MailAlertCollector the dotted name maps to the real attribute so
+        # the change takes live effect; AlertGraceTime is init-only there
+        # (the constructor folds it into alert_grace_time_end), matching the
+        # reference handler which likewise only reads it at construction.
+        collector_attrs = {
+            "MailAlerting.TargetAddress": "target_address",
+            "MailAlerting.FromAddress": "from_address",
+            "MailAlerting.SubjectPrefix": "subject_prefix",
+            "MailAlerting.EventCollectTime": "event_collect_time",
+            "MailAlerting.MinAlertGap": "min_alert_gap",
+            "MailAlerting.MaxAlertGap": "max_alert_gap",
+            "MailAlerting.MaxEventsPerMessage": "max_events_per_message",
+        }
+        for component in analysis_context.registered_components_by_name.values():
+            cls = component.__class__.__name__
+            if cls == "DefaultMailNotificationEventHandler":
+                setattr(component, property_name, value)
+            elif cls == "MailAlertCollector" and property_name in collector_attrs:
+                setattr(component, collector_attrs[property_name], value)
         return 0
 
     def _change_max_memory(self, analysis_context, max_memory_mb):
@@ -325,7 +381,8 @@ class RemoteControlMethods:
         self.REMOTE_CONTROL_RESPONSE = "OK"
 
 
-# command name -> (method name, whether analysis_context is implicit 1st arg)
+# command name -> method name (persist_all's implicit-context case is
+# hard-coded in _dispatch)
 _REGISTRY = {
     "print_config_property": "print_config_property",
     "change_config_property": "change_config_property",
@@ -443,8 +500,20 @@ class RemoteControlHandler:
             if parsed is None or not isinstance(parsed, list) or len(parsed) != 2:
                 raise ValueError("Invalid request data")
             command, control_data = parsed
-            if isinstance(command, bytes):
+            # post-decode normalization, mirrored from AnalysisChild.py:
+            # 594-605 bug-for-bug: a truthy NON-list, non-bytes payload
+            # (str, int, ...) hits .decode() and lands in the exception
+            # slot exactly as the reference does
+            if command and isinstance(command, bytes):
                 command = command.decode()
+            if control_data:
+                if isinstance(control_data, list):
+                    control_data = [
+                        i.decode() if isinstance(i, bytes) else i
+                        for i in control_data
+                    ]
+                else:
+                    control_data = control_data.decode()
             methods = RemoteControlMethods()
             if command in ("suspend_aminer()", "suspend_aminer", "suspend"):
                 analysis_context.suspended_flag = True

@@ -152,19 +152,43 @@ def emit_syslog(
     return event_id
 
 
-def emit_syslog_stream(json_df: DataFrame, send, order_col: str = "ingest_order"):
-    """Streaming emit_syslog: one foreachBatch emitter per micro-batch,
-    event ids continuing across batches (the init record is emitted once,
-    with the first batch). Each micro-batch is sorted by ``order_col`` so
-    the id assignment is deterministic. Returns the started query."""
-    state = {"next_id": 0}
+def syslog_batch_emitter(send, order_col: str = "ingest_order"):
+    """The stateful foreachBatch callback behind :func:`emit_syslog_stream`,
+    exposed so the replay/announce discipline is directly testable:
+    ids continue across batches, the init record fires exactly once (with
+    the first batch, empty leading batches included), and a replayed
+    ``batch_id`` (foreachBatch is at-least-once) is skipped rather than
+    double-emitted. State is driver-memory only: on driver restart from
+    checkpoint ids restart at 0 — checkpointing ``next_id`` durably is
+    deployment-specific (e.g. a commit-log table keyed by batch_id)."""
+    state = {"next_id": 0, "announced": False, "last_batch": -1}
 
-    def _emit(batch: DataFrame, _id: int) -> None:
+    def _emit(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last_batch"]:
+            return
         state["next_id"] = emit_syslog(
-            batch.orderBy(order_col), send, start_event_id=state["next_id"]
+            batch.orderBy(order_col),
+            send,
+            start_event_id=state["next_id"],
+            announce=not state["announced"],
         )
+        state["announced"] = True
+        state["last_batch"] = batch_id
 
-    return json_df.writeStream.foreachBatch(_emit).start()
+    return _emit
+
+
+def emit_syslog_stream(rendered_df: DataFrame, send, order_col: str = "ingest_order"):
+    """Streaming emit_syslog: one foreachBatch emitter per micro-batch with
+    the :func:`syslog_batch_emitter` id/announce/replay discipline. Each
+    micro-batch is sorted by ``order_col`` so the id assignment is
+    deterministic. ``rendered_df`` carries the rendered ``event_text``
+    column that :func:`emit_syslog` consumes (not the ``event_json`` frame
+    of :func:`emit_events_stream`). Returns the started query."""
+    return (
+        rendered_df.writeStream.foreachBatch(syslog_batch_emitter(send, order_col))
+        .start()
+    )
 
 
 _MAIL_TEMPLATE = "From: %s\nTo: %s\nSubject: %s\n\n%s\n"
@@ -307,11 +331,29 @@ def collect_mail_alerts_stream(
     df: DataFrame, collector: MailAlertCollector, order_col: str = "ingest_order"
 ):
     """Streaming collect_mail_alerts: micro-batches feed the (stateful)
-    collector in order; the collector's own clock/gap machine decides when
-    a batch boundary flushes mail. Returns the started query."""
+    collector in order via :func:`mail_batch_collector`; the collector's
+    own clock/gap machine decides when a batch boundary flushes mail.
+    Returns the started query."""
     return df.writeStream.foreachBatch(
-        lambda batch, _id: collect_mail_alerts(batch.orderBy(order_col), collector)
+        mail_batch_collector(collector, order_col)
     ).start()
+
+
+def mail_batch_collector(collector: MailAlertCollector, order_col: str = "ingest_order"):
+    """foreachBatch callback for :func:`collect_mail_alerts_stream` with a
+    replay guard: an at-least-once re-invocation of the same ``batch_id``
+    would double-pool every event in the batch into one mail, so replays
+    are skipped. Collector state is driver-memory only — a driver restart
+    re-pools from scratch."""
+    state = {"last_batch": -1}
+
+    def _collect(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last_batch"]:
+            return
+        collect_mail_alerts(batch.orderBy(order_col), collector)
+        state["last_batch"] = batch_id
+
+    return _collect
 
 
 def score_events(

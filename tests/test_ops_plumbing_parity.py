@@ -332,6 +332,61 @@ def test_emit_syslog_stream_continues_ids(spark, tmp_path):
     assert first_tags == ["[0]", "[1]", "[2]"]
 
 
+def test_syslog_emitter_empty_first_batch_and_replay(spark):
+    """The foreachBatch discipline, driven directly: the init record fires
+    exactly once even when the first micro-batch is empty, and a replayed
+    batch_id (at-least-once delivery) is skipped instead of double-emitted
+    with skewed ids."""
+    from logdata_anomaly_miner_spark.plans.sinks import syslog_batch_emitter
+
+    schema = "event_text string, ingest_order int"
+    empty = spark.createDataFrame([], schema)
+    b1 = spark.createDataFrame([("e0", 0), ("e1", 1)], schema)
+    b2 = spark.createDataFrame([("e2", 2)], schema)
+
+    sent: list[tuple[int, str]] = []
+    emit = syslog_batch_emitter(lambda pri, msg: sent.append((pri, msg)))
+
+    emit(empty, 0)      # empty leading batch: announce, no events
+    emit(b1, 1)
+    emit(b1, 1)         # replay of batch 1: must be a no-op
+    emit(b2, 2)
+
+    msgs = [m for _, m in sent]
+    assert msgs.count("Syslog logger initialized") == 1
+    first_tags = [
+        m.split(" ")[0]
+        for m in msgs
+        if m.startswith("[") and "-" not in m.split(" ")[0]
+    ]
+    assert first_tags == ["[0]", "[1]", "[2]"]
+
+
+def test_mail_batch_collector_replay_skipped(spark):
+    """A replayed micro-batch must not double-pool its events into the next
+    mail flush."""
+    from logdata_anomaly_miner_spark.plans.sinks import mail_batch_collector
+
+    now = [1000.0]
+    mails: list[tuple[str, str, str]] = []
+    collector = MailAlertCollector(
+        lambda f, t, m: mails.append((f, t, m)),
+        "root@localhost",
+        "root@localhost",
+        event_collect_time=5,
+        clock=lambda: now[0],
+    )
+    batch = spark.createDataFrame([("evt line\n\n", 0)], "event_text string, ingest_order int")
+
+    collect = mail_batch_collector(collector)
+    collect(batch, 0)
+    collect(batch, 0)  # replay: without the guard this double-pools the event
+    now[0] = 1006.0
+    collector.do_timer(now[0])  # collect window elapsed -> flush
+    assert len(mails) == 1
+    assert mails[0][2].count("evt line") == 1
+
+
 def test_mail_collector_rejects_bad_address():
     with pytest.raises(ValueError):
         MailAlertCollector(lambda *a: None, "not-an-email", "root@localhost")

@@ -13,6 +13,7 @@ command and dispatches only registered named methods.
 
 from __future__ import annotations
 
+import importlib.machinery
 import os
 import sys
 import types
@@ -53,12 +54,20 @@ def _shim_missing_scientific_modules():
     (AnalysisChild.py:606), which pulls scipy/statsmodels/kneed — absent in
     this container. The commands under test never execute those detectors,
     so placeholder attributes satisfy the imports (same trick as the
-    capture harness's defusedxml shim)."""
+    capture harness's defusedxml shim). The shims must persist for the
+    whole test (do_process re-imports aminer.analysis lazily per call), so
+    each gets a real ModuleSpec: a bare ModuleType has ``__spec__ = None``,
+    which makes ``importlib.util.find_spec("scipy")`` raise ValueError in
+    any later import that probes for scipy (e.g. pyspark.testing during
+    SparkSession creation)."""
 
     def shim(name, attrs):
         if name in sys.modules:
             return
         mod = types.ModuleType(name)
+        mod.__spec__ = importlib.machinery.ModuleSpec(
+            name, None, is_package=(name == "scipy")
+        )
         for a in attrs:
             setattr(mod, a, object())
         sys.modules[name] = mod
@@ -196,6 +205,132 @@ def test_arbitrary_code_is_refused():
         assert body.startswith('["Traceback') or body.startswith('["'), evil
         assert '"Traceback' in body.split(",")[0] or "unsupported" in body
     assert ctx.config_properties["LogPrefix"] == "myprefix"
+
+
+BYTES_PAYLOAD_COMMANDS = [
+    # (command, data) — data reaches the command as remote_control_data
+    (
+        'allowlist_event_in_component(analysis_context, "NVD", remote_control_data)',
+        b"/model/path \xc3\xa4 100%",
+    ),
+    (
+        'allowlist_event_in_component(analysis_context, "NVD", remote_control_data)',
+        [b"/a", "keep", 7],
+    ),
+]
+
+
+def test_remote_control_bytes_payload_parity():
+    """Framing and responses with BYTES data payloads: the percent-escape
+    codec (JsonUtil.encode_object + StringUtil.encode_byte_string_as_string)
+    and the post-decode bytes→str normalization (AnalysisChild.py:594-605).
+    The COMMANDS loop only ever sends None data, which is how the codec
+    divergence originally escaped it."""
+    AC, ref, ref_ctx = _ref_setup()
+    eng, eng_ctx = _eng_setup()
+
+    for cmd, data in BYTES_PAYLOAD_COMMANDS:
+        ref.put_execute_request(cmd, data)
+        request = ref.output_buffer
+        ref.output_buffer = b""
+
+        eng.put_execute_request(cmd, data)
+        assert eng.output_buffer == request, (cmd, data)
+        eng.output_buffer = b""
+
+        ref.input_buffer += request
+        eng.input_buffer += request
+        assert ref.may_get() and eng.may_get()
+        ref.do_process(ref_ctx)
+        eng.do_process(eng_ctx)
+        assert eng.output_buffer == ref.output_buffer, (
+            f"response mismatch for {cmd} data={data!r}:\n"
+            f" ref={ref.output_buffer!r}\n eng={eng.output_buffer!r}"
+        )
+        ref.output_buffer = b""
+        eng.output_buffer = b""
+
+    # both sides decoded the payloads to the same post-normalization values
+    want = ["/model/path ä 100%", ["/a", "keep", 7]]
+    assert eng_ctx.get_component_by_name("NVD").allowlisted == want
+    assert ref_ctx.get_component_by_name("NVD").allowlisted == want
+
+
+def test_remote_control_data_type_quirks():
+    """Bug-for-bug post-decode quirk: truthy non-list data that is not
+    UTF-8-decodable bytes (an int, a str, invalid bytes) hits ``.decode()``
+    and lands in the exception slot on BOTH sides. Tracebacks embed file
+    paths, so compare response structure rather than bytes."""
+    import json as _json
+
+    AC, ref, ref_ctx = _ref_setup()
+    eng, eng_ctx = _eng_setup()
+    cmd = 'print_config_property(analysis_context, "LogPrefix")'
+
+    for data in (42, "a-str", b"\xff\xfe"):
+        for handler, ctx in ((ref, ref_ctx), (eng, eng_ctx)):
+            handler.input_buffer, handler.output_buffer = b"", b""
+            handler.put_execute_request(cmd, data)
+            handler.input_buffer, handler.output_buffer = handler.output_buffer, b""
+            handler.do_process(ctx)
+            exc, resp = _json.loads(handler.output_buffer[8:].decode())
+            assert exc is not None and resp is None, (data, handler.output_buffer)
+
+
+def test_mail_property_change_propagates_to_live_collector():
+    """change_config_property must reach live mail handlers, mirroring the
+    reference's setattr loop (AminerRemoteControlExecutionMethods.py:108-117)
+    — not just config_properties bookkeeping."""
+    from logdata_anomaly_miner_spark.plans.sinks import MailAlertCollector
+
+    eng, ctx = _eng_setup()
+    collector = MailAlertCollector(
+        lambda f, t, m: None, "root@localhost", "root@localhost"
+    )
+    ctx.register_component(collector, "Mail")
+
+    cmd = (
+        'change_config_property(analysis_context, '
+        '"MailAlerting.TargetAddress", "ops@localhost")'
+    )
+    eng.put_execute_request(cmd, None)
+    eng.input_buffer, eng.output_buffer = eng.output_buffer, b""
+    eng.do_process(ctx)
+    assert b"successfully" in eng.output_buffer
+    assert ctx.config_properties["MailAlerting.TargetAddress"] == "ops@localhost"
+    assert collector.target_address == "ops@localhost"
+    # unrelated property classes leave the collector untouched
+    eng.input_buffer, eng.output_buffer = b"", b""
+    eng.put_execute_request(
+        'change_config_property(analysis_context, "MailAlerting.MaxAlertGap", 900)',
+        None,
+    )
+    eng.input_buffer, eng.output_buffer = eng.output_buffer, b""
+    eng.do_process(ctx)
+    assert collector.max_alert_gap == 900
+
+
+def test_bytes_codec_roundtrip_vs_reference():
+    """encode_object/decode_object against the reference codec over every
+    byte value (StringUtil.py:85-120)."""
+    if REFERENCE_LIB not in sys.path:
+        sys.path.insert(0, REFERENCE_LIB)
+    from aminer.util import StringUtil
+
+    from logdata_anomaly_miner_spark.plans.remote_control import (
+        decode_object,
+        encode_object,
+    )
+
+    payload = bytes(range(256))
+    assert encode_object(payload) == (
+        "bytes:" + StringUtil.encode_byte_string_as_string(payload)
+    )
+    assert decode_object(encode_object(payload)) == payload
+    # and the reference decodes our wire form back to the same bytes
+    assert StringUtil.decode_string_as_byte_string(
+        encode_object(payload)[len("bytes:"):]
+    ) == payload
 
 
 def test_persist_callback_and_fd_transport(tmp_path):
