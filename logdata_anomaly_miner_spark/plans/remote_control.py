@@ -32,6 +32,7 @@ from __future__ import annotations
 import ast
 import json
 import re
+import shlex
 import struct
 import traceback
 
@@ -275,7 +276,16 @@ class RemoteControlMethods:
             if cls == "DefaultMailNotificationEventHandler":
                 setattr(component, property_name, value)
             elif cls == "MailAlertCollector" and property_name in collector_attrs:
-                setattr(component, collector_attrs[property_name], value)
+                attr = collector_attrs[property_name]
+                # preserve the collector's constructor invariant: addresses
+                # and the subject prefix are stored shlex.quote()d (the
+                # reference handler quotes at construction; a live change
+                # must render identically to a construction-time value)
+                if attr in ("target_address", "from_address", "subject_prefix"):
+                    value_for_attr = shlex.quote(value)
+                else:
+                    value_for_attr = value
+                setattr(component, attr, value_for_attr)
         return 0
 
     def _change_max_memory(self, analysis_context, max_memory_mb):

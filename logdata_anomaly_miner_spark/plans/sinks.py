@@ -161,7 +161,7 @@ def syslog_batch_emitter(send, order_col: str = "ingest_order"):
     double-emitted. State is driver-memory only: on driver restart from
     checkpoint ids restart at 0 — checkpointing ``next_id`` durably is
     deployment-specific (e.g. a commit-log table keyed by batch_id)."""
-    state = {"next_id": 0, "announced": False, "last_batch": -1}
+    state = {"next_id": 0, "last_batch": -1}
 
     def _emit(batch: DataFrame, batch_id: int) -> None:
         if batch_id <= state["last_batch"]:
@@ -170,9 +170,10 @@ def syslog_batch_emitter(send, order_col: str = "ingest_order"):
             batch.orderBy(order_col),
             send,
             start_event_id=state["next_id"],
-            announce=not state["announced"],
+            # announce iff no batch has been processed yet (ids may still
+            # be 0 after empty leading batches, hence not next_id == 0)
+            announce=state["last_batch"] == -1,
         )
-        state["announced"] = True
         state["last_batch"] = batch_id
 
     return _emit

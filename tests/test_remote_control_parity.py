@@ -308,6 +308,19 @@ def test_mail_property_change_propagates_to_live_collector():
     eng.input_buffer, eng.output_buffer = eng.output_buffer, b""
     eng.do_process(ctx)
     assert collector.max_alert_gap == 900
+    # a live prefix change renders exactly like a construction-time one:
+    # the collector stores shlex.quote()d string props (sinks.py invariant)
+    eng.input_buffer, eng.output_buffer = b"", b""
+    eng.put_execute_request(
+        'change_config_property(analysis_context, '
+        '"MailAlerting.SubjectPrefix", "nightly alerts:")',
+        None,
+    )
+    eng.input_buffer, eng.output_buffer = eng.output_buffer, b""
+    eng.do_process(ctx)
+    import shlex
+
+    assert collector.subject_prefix == shlex.quote("nightly alerts:")
 
 
 def test_bytes_codec_roundtrip_vs_reference():
