@@ -2,8 +2,8 @@
 # Rested sf1 scaling pair (round-5 VERDICT item 8): rest the burstable host
 # >= 9 minutes, then run the validation suite at local[N] and local[4N] in
 # BOTH orders (rest again between orders), plus the pure-CPU ceiling pair.
-# Results append to BENCH/rested_r05.log; BASELINE.md is updated manually
-# from that log.
+# Results append to $SPARK_GRAFT_PAIR_LOG (default BENCH/rested_r07.log);
+# BASELINE.md is updated manually from that log.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -11,10 +11,11 @@ DOCS="${SPARK_GRAFT_SUITE_DOCS:-10000000}"
 NLO="${SPARK_GRAFT_N:-2}"
 NHI="${SPARK_GRAFT_4N:-8}"
 REST="${SPARK_GRAFT_REST:-600}"
-LOG="BENCH/rested_r05.log"
+LOG="${SPARK_GRAFT_PAIR_LOG:-BENCH/rested_r07.log}"
 
 run_suite() {  # $1 = cpus -> echoes docs/sec
   SPARK_GRAFT_CPUS="$1" SPARK_GRAFT_BENCH_MODE=suite SPARK_GRAFT_SUITE_DOCS="$DOCS" \
+    SPARK_GRAFT_DETAIL_PATH=/tmp/bench_detail_pair.json \
     python bench.py 2>/dev/null | tail -1 \
     | python -c 'import json,sys; print(json.loads(sys.stdin.read())["suite_docs_per_sec"])'
 }
