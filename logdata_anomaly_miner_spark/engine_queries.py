@@ -64,6 +64,14 @@ _SUITE_CORPUS_ROOT = _os.path.join(
 )
 SUITE_CORPUS_DIR = _os.path.join(_SUITE_CORPUS_ROOT, f"run-{_os.getpid()}")
 
+# Deterministic fault seeding for the oracle gate (round-6 ADVICE): the
+# driver-generated tables are clean (complete dimension, duplicate-free
+# corpus), so without planted faults q_referential / q_dedup_exact would
+# only ever certify the empty-violation path. The SQL oracles mirror the
+# seeded faults, so this must stay True under the driver's correctness
+# harness; set False when reusing these query exemplars on real data.
+INJECT_BENCH_FAULTS = True
+
 
 def _reap_stale_corpus_dirs() -> None:
     """Best-effort removal of run dirs whose owning process is gone, so
@@ -275,7 +283,9 @@ def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to simulate missing dimension rows — now the query proves the
     # violation path fires AND that matched refs stay silent
     ev = _read(spark, sf_dir, "events")
-    cust = _read(spark, sf_dir, "customer").filter("c_custkey % 10 != 7")
+    cust = _read(spark, sf_dir, "customer")
+    if INJECT_BENCH_FAULTS:
+        cust = cust.filter("c_custkey % 10 != 7")
     return dangling_refs(ev, "user_id", cust, "c_custkey").select("user_id")
 
 
@@ -337,12 +347,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shifted id, the classic re-crawl shape) so the query certifies both
     # that dup groups surface AND that unique docs stay out
     docs = _read(spark, sf_dir, "documents")
-    dup = docs.filter("doc_id % 20 = 0").withColumn(
-        "doc_id", F.col("doc_id") + F.lit(10_000_000)
-    )
-    return exact_dup_groups(docs.unionByName(dup), "doc_id", "text").select(
-        "text_hash", "cnt"
-    )
+    if INJECT_BENCH_FAULTS:
+        dup = docs.filter("doc_id % 20 = 0").withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        )
+        docs = docs.unionByName(dup)
+    return exact_dup_groups(docs, "doc_id", "text").select("text_hash", "cnt")
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,11 +871,21 @@ def q_implication(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_var_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VariableTypeDetector detect_continuous_shape (reference :969-1150):
     best-fit continuous distribution per variable over the first num_init
-    values, closed-form one-sample KS."""
+    values — closed-form one-sample KS for uni/nor/beta1-5, the closed-form
+    two-sample mixed-beta candidate (:1065-1078), and the 'emp' fallback
+    classification (:1161-1162) when nothing is accepted."""
     from logdata_anomaly_miner_spark.operators.var_gof import fit_continuous
 
     ev = _read(spark, sf_dir, "events")
-    out = fit_continuous(ev, ["event_type"], "value", ["event_id"], num_init=100)
+    out = fit_continuous(
+        ev,
+        ["event_type"],
+        "value",
+        ["event_id"],
+        num_init=100,
+        with_betam=True,
+        use_empiric=True,
+    )
     return out.select(
         "event_type",
         "dist",
@@ -1562,7 +1582,11 @@ cd AS (SELECT g, n, nd, rn,
   least(greatest(z*0.15971914124998499 + 0.7142857142857143, 0.0), 1.0) AS x_b2,
   least(greatest(z*0.15971914124998499 + 0.2857142857142857, 0.0), 1.0) AS x_b3,
   least(greatest(z*0.14085904245475275 + 0.16666666666666666, 0.0), 1.0) AS x_b4,
-  least(greatest(z*0.14085904245475275 + 0.8333333333333334, 0.0), 1.0) AS x_b5
+  least(greatest(z*0.14085904245475275 + 0.8333333333333334, 0.0), 1.0) AS x_b5,
+  least(greatest((v - vmin)/(vmax - vmin), 0.0), 1.0) AS x_bm,
+  CASE WHEN (mu - vmin)/(vmax - vmin) > 1.0/6.0 AND (mu - vmin)/(vmax - vmin) < 5.0/6.0
+       THEN CAST(floor((5.0/6.0 - (mu - vmin)/(vmax - vmin))*1.5*1000.0 + 0.5) AS BIGINT)
+       END AS m_bm
   FROM nt),
 cf AS (SELECT g, n, nd, rn, x_uni AS f_uni, f_nor,
   0.6366197723675814*asin(sqrt(x_uni)) AS f_b1,
@@ -1573,7 +1597,15 @@ cf AS (SELECT g, n, nd, rn, x_uni AS f_uni, f_nor,
   0.0 + 5.0*pow(x_b4,1.0)*pow(1-x_b4,4.0) + 10.0*pow(x_b4,2.0)*pow(1-x_b4,3.0)
       + 10.0*pow(x_b4,3.0)*pow(1-x_b4,2.0) + 5.0*pow(x_b4,4.0)*pow(1-x_b4,1.0)
       + 1.0*pow(x_b4,5.0)*pow(1-x_b4,0.0) AS f_b4,
-  0.0 + 1.0*pow(x_b5,5.0)*pow(1-x_b5,0.0) AS f_b5
+  0.0 + 1.0*pow(x_b5,5.0)*pow(1-x_b5,0.0) AS f_b5,
+  -- closed-form 1000-point beta(1,5)/beta(5,1) mixture ECDF (powers as
+  -- explicit multiplications: bit-identical to the Spark plan)
+  CASE WHEN m_bm IS NOT NULL THEN
+    (floor((least(floor(999.0*(1.0 - ((1.0-x_bm)*(1.0-x_bm))*((1.0-x_bm)*(1.0-x_bm))*(1.0-x_bm))), 999.0) + 1)*m_bm/1000.0)
+     + (least(floor(999.0*((x_bm*x_bm)*(x_bm*x_bm)*x_bm)), 999.0) + 1)
+     - floor((least(floor(999.0*((x_bm*x_bm)*(x_bm*x_bm)*x_bm)), 999.0) + 1)*m_bm/1000.0)
+    )/1000.0 END AS f_bm,
+  CASE WHEN x_bm = 0.0 OR x_bm = 1.0 THEN 1.0 ELSE 0.0 END AS hit_bm
   FROM cd),
 tt AS (SELECT g, n, nd,
   greatest(rn/nd - f_uni, f_uni - (rn-1)/nd) AS t_uni,
@@ -1582,29 +1614,51 @@ tt AS (SELECT g, n, nd,
   greatest(rn/nd - f_b2, f_b2 - (rn-1)/nd) AS t_b2,
   greatest(rn/nd - f_b3, f_b3 - (rn-1)/nd) AS t_b3,
   greatest(rn/nd - f_b4, f_b4 - (rn-1)/nd) AS t_b4,
-  greatest(rn/nd - f_b5, f_b5 - (rn-1)/nd) AS t_b5
+  greatest(rn/nd - f_b5, f_b5 - (rn-1)/nd) AS t_b5,
+  CASE WHEN f_bm IS NOT NULL THEN
+    greatest(abs(f_bm - rn/nd), abs(f_bm - hit_bm/1000.0 - (rn-1)/nd)) END AS t_bm
   FROM cf),
 sg AS (SELECT g, max(n) AS n, max(nd) AS nd,
               max(t_uni) AS s_uni, max(t_nor) AS s_nor, max(t_b1) AS s_b1,
               max(t_b2) AS s_b2, max(t_b3) AS s_b3, max(t_b4) AS s_b4,
-              max(t_b5) AS s_b5
+              max(t_b5) AS s_b5, max(t_bm) AS s_bm
        FROM tt GROUP BY g),
+cs AS (SELECT g, n, nd,
+  s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5, s_bm,
+  s_uni*sqrt(nd) AS c_uni, s_nor*sqrt(nd) AS c_nor, s_b1*sqrt(nd) AS c_b1,
+  s_b2*sqrt(nd) AS c_b2, s_b3*sqrt(nd) AS c_b3, s_b4*sqrt(nd) AS c_b4,
+  s_b5*sqrt(nd) AS c_b5,
+  s_bm*sqrt(nd*1000.0/(nd + 1000.0)) AS c_bm
+  FROM sg),
 pick AS (SELECT g, n, nd,
-  least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) AS stat,
-  CASE WHEN s_uni = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'uni'
-       WHEN s_nor = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'nor'
-       WHEN s_b1 = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'beta1'
-       WHEN s_b2 = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'beta2'
-       WHEN s_b3 = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'beta3'
-       WHEN s_b4 = least(s_uni, s_nor, s_b1, s_b2, s_b3, s_b4, s_b5) THEN 'beta4'
-       ELSE 'beta5' END AS dist
-  FROM sg)
+  least(c_uni, c_nor, c_b1, c_b2, c_b3, c_b4, c_b5, c_bm) AS cbest,
+  CASE WHEN c_uni = least(c_uni, c_nor, c_b1, c_b2, c_b3, c_b4, c_b5, c_bm) THEN 'uni'
+       WHEN c_nor = least(c_uni, c_nor, c_b1, c_b2, c_b3, c_b4, c_b5, c_bm) THEN 'nor'
+       WHEN c_b1 = least(c_uni, c_nor, c_b1, c_b2, c_b3, c_b4, c_b5, c_bm) THEN 'beta1'
+       WHEN c_b2 = least(c_uni, c_nor, c_b1, c_b2, c_b3, c_b4, c_b5, c_bm) THEN 'beta2'
+       WHEN c_b3 = least(c_uni, c_nor, c_b1, c_b2, c_b3, c_b4, c_b5, c_bm) THEN 'beta3'
+       WHEN c_b4 = least(c_uni, c_nor, c_b1, c_b2, c_b3, c_b4, c_b5, c_bm) THEN 'beta4'
+       WHEN c_b5 = least(c_uni, c_nor, c_b1, c_b2, c_b3, c_b4, c_b5, c_bm) THEN 'beta5'
+       ELSE 'betam' END AS dist,
+  CASE WHEN c_uni = least(c_uni, c_nor, c_b1, c_b2, c_b3, c_b4, c_b5, c_bm) THEN s_uni
+       WHEN c_nor = least(c_uni, c_nor, c_b1, c_b2, c_b3, c_b4, c_b5, c_bm) THEN s_nor
+       WHEN c_b1 = least(c_uni, c_nor, c_b1, c_b2, c_b3, c_b4, c_b5, c_bm) THEN s_b1
+       WHEN c_b2 = least(c_uni, c_nor, c_b1, c_b2, c_b3, c_b4, c_b5, c_bm) THEN s_b2
+       WHEN c_b3 = least(c_uni, c_nor, c_b1, c_b2, c_b3, c_b4, c_b5, c_bm) THEN s_b3
+       WHEN c_b4 = least(c_uni, c_nor, c_b1, c_b2, c_b3, c_b4, c_b5, c_bm) THEN s_b4
+       WHEN c_b5 = least(c_uni, c_nor, c_b1, c_b2, c_b3, c_b4, c_b5, c_bm) THEN s_b5
+       ELSE s_bm END AS stat,
+  least(c_uni, c_nor, c_b1, c_b2, c_b3, c_b4, c_b5, c_bm) < 1.3581015157406195 AS acc
+  FROM cs)
 SELECT g AS event_type,
-       CASE WHEN d.deg THEN 'static' ELSE dist END AS dist,
-       CASE WHEN d.deg THEN 0.0 ELSE round(stat, 6) END AS stat,
+       CASE WHEN d.deg THEN 'static'
+            WHEN NOT acc THEN 'emp'
+            ELSE dist END AS dist,
+       CASE WHEN d.deg THEN 0.0
+            WHEN NOT acc THEN NULL
+            ELSE round(stat, 6) END AS stat,
        CAST(n AS BIGINT) AS n,
-       CASE WHEN d.deg THEN TRUE
-            ELSE (stat < 1.3581015157406195/sqrt(nd)) END AS accepted
+       CASE WHEN d.deg THEN TRUE ELSE acc END AS accepted
 FROM pick JOIN (SELECT g, (vmax = vmin) AS deg FROM st) d USING (g)
 """,
     "var_sgof": """

@@ -136,7 +136,19 @@ def _area_mean_4x4(gray: np.ndarray) -> np.ndarray:
 def _builtin_image_gray(payload: bytes) -> np.ndarray | None:
     """Codec-library-free decode of BMP (24-bit uncompressed BI_RGB) and
     binary PPM (P6, maxval 255) into an (H, W) float grayscale array
-    (ITU-R 601 luma). Returns None when the payload is neither format."""
+    (ITU-R 601 luma). Returns None when the payload is neither format OR is
+    a truncated/malformed instance of either (short pixel data, missing
+    header fields, unterminated comments): one corrupt blob must signal
+    not-decodable, not crash the whole extract_features job."""
+    import struct
+
+    try:
+        return _builtin_image_gray_strict(payload)
+    except (ValueError, struct.error, IndexError):
+        return None
+
+
+def _builtin_image_gray_strict(payload: bytes) -> np.ndarray | None:
     import struct
 
     if payload[:2] == b"BM" and len(payload) >= 54:

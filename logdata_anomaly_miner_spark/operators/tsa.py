@@ -214,6 +214,78 @@ def hr_arma_forecast_bands(
     return out.select(*key_cols, w_col, cnt_col, "pred", "sigma", "n_train", "anomaly")
 
 
+def _nelder_mead(f, x0, maxiter=None, xatol=1e-7, fatol=1e-12):
+    """Plain Nelder–Mead simplex minimizer (pure numpy; the standard
+    reflection/expansion/contraction/shrink scheme with scipy's simplex
+    initialization constants). Small fixed-dimension problems only — the
+    CSS refinement below optimizes p+q+1(+1) parameters per key."""
+    x0 = np.asarray(x0, dtype=np.float64)
+    n = x0.size
+    maxiter = maxiter or 200 * n
+    sim = np.vstack([x0] * (n + 1))
+    for i in range(n):
+        if sim[i + 1, i] != 0.0:
+            sim[i + 1, i] *= 1.05
+        else:
+            sim[i + 1, i] = 0.00025
+    fx = np.array([f(s) for s in sim])
+    for _ in range(maxiter):
+        order = np.argsort(fx)
+        sim, fx = sim[order], fx[order]
+        if np.max(np.abs(sim[1:] - sim[0])) <= xatol and np.max(
+            np.abs(fx[1:] - fx[0])
+        ) <= fatol:
+            break
+        centroid = sim[:-1].mean(axis=0)
+        xr = centroid + (centroid - sim[-1])
+        fr = f(xr)
+        if fr < fx[0]:
+            xe = centroid + 2.0 * (centroid - sim[-1])
+            fe = f(xe)
+            sim[-1], fx[-1] = (xe, fe) if fe < fr else (xr, fr)
+        elif fr < fx[-2]:
+            sim[-1], fx[-1] = xr, fr
+        else:
+            xc = centroid + 0.5 * (sim[-1] - centroid)
+            fc = f(xc)
+            if fc < fx[-1]:
+                sim[-1], fx[-1] = xc, fc
+            else:  # shrink toward the best vertex
+                sim[1:] = sim[0] + 0.5 * (sim[1:] - sim[0])
+                fx[1:] = [f(s) for s in sim[1:]]
+    best = int(np.argmin(fx))
+    return sim[best]
+
+
+def _css_innovations(params, yv, p, q, slag):
+    """One-step innovations ε_t of an ARMA(p,q)(+seasonal AR) under the
+    conditional-sum-of-squares convention: condition on the first
+    max(p, slag) observations, pre-sample innovations fixed at 0
+    (the same conditioning statsmodels uses for method='css').
+    params = [c, φ_1..p, θ_1..q, (φ_s)]."""
+    c = params[0]
+    phi = params[1 : 1 + p]
+    th = params[1 + p : 1 + p + q]
+    ps = params[1 + p + q] if slag else 0.0
+    n = len(yv)
+    start = max(p, slag)
+    base = np.full(n - start, c)
+    for i in range(p):
+        base += phi[i] * yv[start - 1 - i : n - 1 - i]
+    if slag:
+        base += ps * yv[: n - slag]
+    e = np.zeros(n)
+    if q == 0:
+        e[start:] = yv[start:] - base
+    else:
+        for t in range(start, n):
+            acc = base[t - start]
+            for j in range(min(q, t)):
+                acc += th[j] * e[t - 1 - j]
+            e[t] = yv[t] - acc
+    return e, start
+
+
 def arma_forecast_bands(
     counts: DataFrame,
     key_cols: Sequence[str],
@@ -225,6 +297,7 @@ def arma_forecast_bands(
     min_train: int = 20,
     cnt_col: str = "cnt",
     w_col: str = "w",
+    css: bool = False,
 ) -> DataFrame:
     """General ARMA(p,q) (+optional d=1 differencing and one seasonal AR
     lag) per key via applyInPandas — the full-surface analog of the
@@ -236,7 +309,15 @@ def arma_forecast_bands(
     y_{t-S}] by OLS. With d=1 both stages run on the first difference and
     the level forecast is reconstituted as y_{t-1} + Δ̂_t. One ordered
     Arrow batch per key; keys distribute across executors; series length
-    is bounded by the window-count domain."""
+    is bounded by the window-count domain.
+
+    ``css=True`` refines the HR stage-2 estimate (which is its start value)
+    by minimizing the conditional sum of squares with a pure-numpy
+    Nelder–Mead — the statsmodels-free counterpart of the reference's MLE
+    fit (CSS and exact MLE agree to O(1/n)); this removes the HR
+    innovation-substitution bias on MA terms and is what makes q >= 2
+    estimates accurate. Only engaged when q > 0 — for pure AR(+seasonal)
+    models the stage-2 OLS already IS the exact CSS optimum."""
     in_types = {f.name: f.dataType.simpleString() for f in counts.schema.fields}
     schema = (
         ", ".join(f"{c} {in_types[c]}" for c in key_cols)
@@ -271,7 +352,18 @@ def arma_forecast_bands(
                 cols.append(yv[rows - slag])
             x2 = np.column_stack(cols)
             th2, *_ = np.linalg.lstsq(x2, yv[rows], rcond=None)
-            preds_y[rows] = x2 @ th2
+            if css and q > 0:
+                cstart = max(p, slag)
+
+                def loss(v):
+                    inn, _ = _css_innovations(v, yv, p, q, slag)
+                    return float(np.sum(inn[cstart:] ** 2))
+
+                th_opt = _nelder_mead(loss, th2)
+                e_opt, _ = _css_innovations(th_opt, yv, p, q, slag)
+                preds_y[rows] = yv[rows] - e_opt[rows]
+            else:
+                preds_y[rows] = x2 @ th2
         # reconstitute to level space
         preds = np.full(n, np.nan)
         if d == 1:

@@ -30,8 +30,42 @@ Re-expresses the continuous-distribution machinery of VariableTypeDetector
   ``num_s_gof_bt`` chunk results raises an alarm when the number of fails
   reaches the binomial critical value at s_gof_bt_alpha.
 
+- ``betam`` / ``spec`` / ``emp`` candidates (:1065-1091, :1161-1162,
+  s_gof_get_quantiles :1558-1603): the mixed-beta candidate compares the
+  min-max-scaled sample against a 1000-point mixture of beta(1,5) and
+  beta(5,1) quantiles (proportion from the sample mean's relative position)
+  with a two-sample KS; 'spec' compares the standardized sample against a
+  caller-supplied quantile table (the reference ships its self-generated
+  table as data in VTDData.py — the engine takes it as configuration);
+  'emp' is the fallback classification when no candidate is accepted and
+  ``use_empiric`` is set, and its sliding test is a two-sample KS against
+  an equidistant quantile subsample of the init values.
+
+  Documented deviations (all selection-preserving, verified by tests):
+  * The reference's betam1/betam2 tables (VTDData.quantiles) are 3-decimal
+    linearly-interpolated beta(1,5)/beta(5,1) quantiles on an i/999 grid;
+    the engine evaluates the exact closed forms q15(u) = 1-(1-u)^(1/5) and
+    q51(u) = u^(1/5) on the same grid (max pointwise gap to the shipped
+    table <= 1.5e-3), and spreads the round(1000·proportion) component-1
+    grid slots with exact integer (Bresenham) arithmetic instead of
+    int(round(i/proportion)) so Spark and the DuckDB oracle compute
+    bit-identical memberships. The mixture's ECDF then has a CLOSED FORM
+    (no per-row array scan): #component-1 points <= x is
+    floor((floor(999·F15(x))+1)·m/1000) by telescoping the Bresenham rule.
+  * Candidate selection follows the reference's p-value branch
+    (:997,1006,...: the `else` arms taken when (gof_alpha, num_init) miss
+    the crit_val_ini lookup): all candidates compared on the asymptotic
+    Kolmogorov scale c = D·sqrt(n_eff) (n_eff = n·m/(n+m) for two-sample),
+    argmin c == argmax p. The tabulated branch's direction quirk — betam /
+    spec append a SCALED STATISTIC (ks_2samp(...)[0]/crit·1.4, :1067-1091)
+    into a list otherwise holding significances and selected by argmax —
+    is not reproduced; nor is scipy's exact-vs-asymptotic p switching.
+
 Everything is per-(group, variable) window algebra — one sort per group,
-map-side aggregation for the fit statistics; no UDF, no driver loop.
+map-side aggregation for the fit statistics; no UDF, no driver loop. The
+betam mixture CDF is pure scalar arithmetic per row (whole-stage codegen);
+the emp/spec reference samples are bounded arrays (2·num_s_gof_values or
+|table| elements) carried per group, scanned with JVM-side lambda filters.
 """
 
 from __future__ import annotations
@@ -136,6 +170,75 @@ def _gof_terms(test: str, cdf: Column, rn: Column, n: Column) -> Column:
     raise ValueError(f"unknown gof test {test!r}")
 
 
+def _betam_slots(mu: Column, vmin: Column, vmax: Column) -> Column:
+    """Number m of beta(1,5) grid slots in the 1000-point mixture, or null
+    when the group is ineligible (reference :1065-1067: the betam candidate
+    is only tested when 1/6 < (ev-min)/(max-min) < 5/6; proportion =
+    ((ev-min)/(max-min) - 5/6)/(-4/6))."""
+    rel = (mu - vmin) / F.nullif(vmax - vmin, F.lit(0.0))
+    p = (F.lit(5.0 / 6.0) - rel) * F.lit(1.5)
+    eligible = (rel > F.lit(1.0 / 6.0)) & (rel < F.lit(5.0 / 6.0))
+    return F.when(eligible, F.floor(p * F.lit(1000.0) + F.lit(0.5)).cast("long"))
+
+
+def _betam_cdf_le(x01: Column, m: Column) -> Column:
+    """Closed-form ECDF F(x) = #{mixture points <= x}/1000 of the 1000-point
+    beta(1,5)/beta(5,1) quantile mixture (grid u_j = j/999, j = 0..999;
+    component 1 occupies the m Bresenham slots {j : floor((j+1)m/1000) >
+    floor(jm/1000)}). q15(u) <= x  <=>  j <= 999·F15(x) with
+    F15(x) = 1-(1-x)^5, and #{j <= K, j in slots} telescopes to
+    floor((K+1)·m/1000); analogously for component 2 with F51(x) = x^5.
+    Powers are written as explicit multiplications so Spark and the DuckDB
+    oracle produce bit-identical doubles (libm pow may differ in the last
+    ulp, which could flip the floor at near-integer arguments).
+    ``x01`` must already be clipped to [0, 1]."""
+    omx = F.lit(1.0) - x01
+    omx2 = omx * omx
+    f15 = F.lit(1.0) - omx2 * omx2 * omx
+    x2 = x01 * x01
+    f51 = x2 * x2 * x01
+    k1 = F.least(F.floor(F.lit(999.0) * f15), F.lit(999.0)).cast("long")
+    k2 = F.least(F.floor(F.lit(999.0) * f51), F.lit(999.0)).cast("long")
+    cnt1 = F.floor((k1 + F.lit(1)) * m / F.lit(1000.0))
+    cnt2 = (k2 + F.lit(1)).cast("double") - F.floor((k2 + F.lit(1)) * m / F.lit(1000.0))
+    return (cnt1 + cnt2) / F.lit(1000.0)
+
+
+def _betam_terms(
+    v: Column, mn: Column, mx: Column, m: Column, rn: Column, n: Column
+) -> Column:
+    """Per-row two-sample KS contribution for the betam candidate: with
+    F1 the mixture ECDF and the row the rank-rn observation of n, the exact
+    sup|F1 - F2| is max over rows of max(|F1(x) - rn/n|,
+    |F1(x⁻) - (rn-1)/n|); F1(x⁻) differs from F1(x) only at the grid's
+    exact boundary points x ∈ {0, 1} (exactly one mixture point sits at
+    each: slot 999 is always component 1 with q15(1) = 1, slot 0 never is,
+    so q51(0) = 0), where it is one mixture point lower."""
+    rng = F.nullif(mx - mn, F.lit(0.0))
+    x01 = _clip01((v - mn) / rng)
+    f1 = _betam_cdf_le(x01, m)
+    hit = F.when((x01 == F.lit(0.0)) | (x01 == F.lit(1.0)), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    a = F.abs(f1 - rn / n)
+    b = F.abs(f1 - hit / F.lit(1000.0) - (rn - 1) / n)
+    return F.when(m.isNotNull(), F.greatest(a, b))
+
+
+def _table_ks_terms(
+    table: Sequence[float], z: Column, rn: Column, n: Column
+) -> Column:
+    """Per-row two-sample KS contribution against a LITERAL quantile table
+    (the 'spec' candidate, reference :1080-1091): F1le/F1lt are evaluated
+    with JVM-side lambda filters over the table array (exact, tie-safe);
+    rn must be the 1-based rank of z within the group (ascending)."""
+    arr = F.lit([float(q) for q in table])
+    ln = float(len(table))
+    f1le = F.size(F.filter(arr, lambda e: e <= z)) / F.lit(ln)
+    f1lt = F.size(F.filter(arr, lambda e: e < z)) / F.lit(ln)
+    return F.greatest(F.abs(f1le - rn / n), F.abs(f1lt - (rn - 1) / n))
+
+
 def fit_continuous(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -144,9 +247,22 @@ def fit_continuous(
     num_init: int = 100,
     gof_alpha: float = 0.05,
     test: str = "KS",
+    with_betam: bool = False,
+    use_empiric: bool = False,
+    spec_quantiles: Sequence[float] | None = None,
 ) -> DataFrame:
     """Per group: best-fitting candidate over the first ``num_init`` values
     (event order), with the gof statistic and acceptance flag.
+
+    ``with_betam`` adds the mixed-beta two-sample candidate and
+    ``spec_quantiles`` the 'spec'/'spec_rev' pair (both KS mode only — the
+    reference's CM branch tests only uni/nor/beta, :1105-1150, so they are
+    ignored under test='CM'). ``use_empiric`` reclassifies groups where no
+    candidate is accepted as dist='emp' with a null statistic (reference
+    :1161-1162 returns ['emp', ev, sigma]); accepted stays False for them —
+    it reports the gof outcome, 'emp' the resulting classification.
+    Two-sample candidates are compared with the one-sample ones on the
+    asymptotic Kolmogorov scale c = D·sqrt(n_eff), n_eff = n·m/(n+m).
 
     Returns group_cols + (dist, stat, n, mu, sigma, vmin, vmax, accepted).
     """
@@ -174,6 +290,36 @@ def fit_continuous(
         .cast("double"),
     )
     rn, n = F.col("_rn"), F.col("n").cast("double")
+    two_sample: list[tuple[str, Column, float]] = []  # (name, term, ref size)
+    if test == "KS" and with_betam:
+        two_sample.append(
+            (
+                "betam",
+                _betam_terms(
+                    F.col("_v"),
+                    F.col("vmin"),
+                    F.col("vmax"),
+                    _betam_slots(F.col("mu"), F.col("vmin"), F.col("vmax")),
+                    rn,
+                    n,
+                ),
+                1000.0,
+            )
+        )
+    if test == "KS" and spec_quantiles is not None:
+        z = (F.col("_v") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))
+        # ascending rank of -z is n - rn + 1 (z is monotone in _v)
+        two_sample.append(
+            ("spec", _table_ks_terms(spec_quantiles, z, rn, n), float(len(spec_quantiles)))
+        )
+        neg_table = sorted(-float(q) for q in spec_quantiles)
+        two_sample.append(
+            (
+                "spec_rev",
+                _table_ks_terms(neg_table, z, rn, n),
+                float(len(spec_quantiles)),
+            )
+        )
     terms = ranked.select(
         *group_cols,
         "n",
@@ -187,6 +333,7 @@ def fit_continuous(
                 F.col("_v"), F.col("vmin"), F.col("vmax"), F.col("mu"), F.col("sigma")
             )
         ],
+        *[term.alias(f"_t_{name}") for name, term, _ in two_sample],
     )
     names = [name for name, _ in candidate_cdfs(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(0.0), F.lit(1.0))]
     if test == "KS":
@@ -198,26 +345,44 @@ def fit_continuous(
             )
             for name in names
         ]
+    aggs += [F.max(f"_t_{name}").alias(f"_s_{name}") for name, _, _ in two_sample]
     fitted = terms.groupBy(*group_cols, "n", "vmin", "vmax", "mu", "sigma").agg(*aggs)
-    # argmin statistic across candidates (ties: candidate order, matching
-    # the reference's max-significance scan)
-    packed = F.array(
-        *[
-            F.struct(
-                F.col(f"_s_{name}").alias("stat"),
-                F.lit(i).alias("ord"),
-                F.lit(name).alias("dist"),
-            )
-            for i, name in enumerate(names)
-        ]
-    )
-    best = F.array_min(F.filter(packed, lambda s: s["stat"].isNotNull()))
-    if test == "KS":
-        crit = F.lit(math.sqrt(-math.log(gof_alpha / 2.0) / 2.0)) / F.sqrt(
-            F.col("n").cast("double")
+    # argmin across candidates on the comparable scale (ties: candidate
+    # order, matching the reference's max-significance scan). For one-sample
+    # candidates the scale column equals the raw statistic times sqrt(n) —
+    # a shared monotone factor, so the one-sample-only ordering (and the
+    # legacy raw-D acceptance) is unchanged; two-sample candidates enter
+    # with their effective size n_eff = n·m/(n+m).
+    nd = F.col("n").cast("double")
+    entries = [
+        F.struct(
+            (F.col(f"_s_{name}") * F.sqrt(nd)).alias("scale"),
+            F.lit(i).alias("ord"),
+            F.lit(name).alias("dist"),
+            F.col(f"_s_{name}").alias("raw"),
         )
+        for i, name in enumerate(names)
+    ]
+    entries += [
+        F.struct(
+            (
+                F.col(f"_s_{name}") * F.sqrt(nd * F.lit(m_ref) / (nd + F.lit(m_ref)))
+            ).alias("scale"),
+            F.lit(len(names) + j).alias("ord"),
+            F.lit(name).alias("dist"),
+            F.col(f"_s_{name}").alias("raw"),
+        )
+        for j, (name, _, m_ref) in enumerate(two_sample)
+    ]
+    packed = F.array(*entries)
+    best = F.array_min(F.filter(packed, lambda s: s["scale"].isNotNull()))
+    if test == "KS":
+        crit_scale = F.lit(math.sqrt(-math.log(gof_alpha / 2.0) / 2.0))
+        accepted_expr = F.col("_scale") < crit_scale
     else:
-        crit = F.lit(0.4614)  # asymptotic one-sample CvM crit at alpha=0.05
+        # asymptotic one-sample CvM crit at alpha=0.05 (raw-statistic scale;
+        # CvM mode has no two-sample candidates, so scale/sqrt(n) = raw)
+        accepted_expr = F.col("stat") < F.lit(0.4614)
     # degenerate (constant) groups: vmax == vmin makes every candidate CDF
     # 0/0 -> all stats null -> _best null, and accepted = (null < crit)
     # would be neither true nor false, silently dropping the group from
@@ -225,24 +390,38 @@ def fit_continuous(
     # the reference's STATIC variable type — classify it as such,
     # trivially accepted, rather than emitting nulls.
     degenerate = F.col("vmax") == F.col("vmin")
-    return (
+    out = (
         fitted.withColumn("_best", best)
         .select(
             *group_cols,
             F.when(degenerate, F.lit("static"))
             .otherwise(F.col("_best.dist"))
             .alias("dist"),
-            F.when(degenerate, F.lit(0.0)).otherwise(F.col("_best.stat")).alias("stat"),
+            F.when(degenerate, F.lit(0.0)).otherwise(F.col("_best.raw")).alias("stat"),
             "n",
             "mu",
             "sigma",
             "vmin",
             "vmax",
             degenerate.alias("_deg"),
+            F.col("_best.scale").alias("_scale"),
         )
-        .withColumn("accepted", F.when(F.col("_deg"), F.lit(True)).otherwise(F.col("stat") < crit))
-        .drop("_deg")
+        .withColumn(
+            "accepted", F.when(F.col("_deg"), F.lit(True)).otherwise(accepted_expr)
+        )
+        .drop("_deg", "_scale")
     )
+    if use_empiric:
+        # reference :1161-1162: when no continuous shape is accepted the
+        # variable becomes the empirical distribution ['emp', ev, sigma];
+        # the losing candidate's statistic is discarded with it.
+        fallthrough = (~F.col("accepted")) & (F.col("dist") != "static")
+        out = out.withColumn(
+            "stat", F.when(fallthrough, F.lit(None).cast("double")).otherwise(F.col("stat"))
+        ).withColumn(
+            "dist", F.when(fallthrough, F.lit("emp")).otherwise(F.col("dist"))
+        )
+    return out
 
 
 def binomial_critical(n: int, p: float, alpha: float) -> int:
@@ -268,6 +447,7 @@ def s_gof_ladder(
     num_s_gof_bt: int = 30,
     s_gof_bt_alpha: float = 0.05,
     test: str = "KS",
+    spec_quantiles: Sequence[float] | None = None,
 ) -> DataFrame:
     """Sliding gof + binomial ladder (reference s_gof_test :1605-1700):
     values after the init sample are cut into consecutive chunks of
@@ -275,6 +455,18 @@ def s_gof_ladder(
     distribution (fail = statistic above the α critical value); an alarm
     fires on chunks where the fail count within the trailing
     ``num_s_gof_bt`` chunks reaches the binomial critical value.
+
+    Groups fitted as 'emp' / 'betam' / 'spec' / 'spec_rev' are tested with
+    the reference's TWO-SAMPLE branch (s_gof_test's final else + the
+    s_gof_get_quantiles tables, :1558-1603,1621-1624): 'emp' against the
+    2·num_s_gof_values-point equidistant quantile subsample of the init
+    values, 'betam' against the closed-form 1000-point mixture ECDF scaled
+    back to value space, 'spec' against the caller-supplied table subsampled
+    to 2·num_s_gof_values points and compared in z-space. Their critical
+    value is the reference's two-sample formula with num_distr_val fixed at
+    2·num_s_gof_values (:1610 — the reference uses that constant even for
+    the 1000-point betam table; mirrored, cited) and failure is strict
+    ``stat > crit`` as in the reference.
 
     Returns group_cols + (chunk, stat, failed, n_fails, n_tests, alarm).
 
@@ -286,10 +478,12 @@ def s_gof_ladder(
     fitted = fitted.filter(F.col("dist") != "static")
     v = F.col(value_col).cast("double")
     w_ord = Window.partitionBy(*group_cols).orderBy(*[F.col(c) for c in order_cols])
-    chunked = (
+    numbered = (
         df.filter(v.isNotNull())
         .withColumn("_ern", F.row_number().over(w_ord))
-        .filter(F.col("_ern") > num_init)
+    )
+    chunked = (
+        numbered.filter(F.col("_ern") > num_init)
         .withColumn(
             "chunk", F.floor((F.col("_ern") - num_init - 1) / num_s_gof_values)
         )
@@ -299,6 +493,37 @@ def s_gof_ladder(
             list(group_cols),
         )
     )
+    m0 = 2 * num_s_gof_values
+    # 'emp' groups carry their init-sample quantile subsample as a bounded
+    # per-group array (reference s_gof_get_quantiles :1560-1574: indices
+    # int(num_init·j/(2·num_s_gof_values)) into the SORTED init sample; the
+    # index scale uses the group's ACTUAL init count so a group shorter
+    # than num_init — which the reference never fits — subsamples its full
+    # sample instead of indexing out of bounds under ANSI mode)
+    sz = F.size(F.col("_init_sorted"))
+    emp_arrs = (
+        numbered.filter(F.col("_ern") <= num_init)
+        .join(
+            fitted.filter(F.col("dist") == "emp").select(*group_cols),
+            list(group_cols),
+            "left_semi",
+        )
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(v)).alias("_init_sorted"))
+        .select(
+            *group_cols,
+            F.array(
+                *[
+                    F.get(
+                        "_init_sorted",
+                        F.floor(sz * F.lit(j) / F.lit(m0)).cast("int"),
+                    )
+                    for j in range(m0)
+                ]
+            ).alias("_emp_arr"),
+        )
+    )
+    chunked = chunked.join(emp_arrs, list(group_cols), "left")
     ranked = chunked.withColumn(
         "_rn",
         F.row_number()
@@ -322,6 +547,65 @@ def s_gof_ladder(
     for name, expr in cdf_by_name:
         sel = F.when(F.col("dist") == name, expr).otherwise(sel)
     term = _gof_terms(test, sel, F.col("_rn"), F.col("_cn"))
+    rn, cn = F.col("_rn"), F.col("_cn")
+    two_names = []
+    if test == "KS":
+        # emp: exact two-sample KS vs the stored m0-point subsample
+        le = F.size(F.filter("_emp_arr", lambda e: e <= F.col("_v"))) / F.lit(
+            float(m0)
+        )
+        lt = F.size(F.filter("_emp_arr", lambda e: e < F.col("_v"))) / F.lit(
+            float(m0)
+        )
+        term = F.when(
+            F.col("dist") == "emp",
+            F.greatest(F.abs(le - rn / cn), F.abs(lt - (rn - 1) / cn)),
+        ).otherwise(term)
+        two_names.append("emp")
+        # betam: closed-form mixture ECDF in scaled space; chunk values may
+        # leave [vmin, vmax], where the mixture ECDF saturates at 0 / 1
+        rng = F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0.0))
+        xr = (F.col("_v") - F.col("vmin")) / rng
+        slots = _betam_slots(F.col("mu"), F.col("vmin"), F.col("vmax"))
+        f1le = (
+            F.when(xr < 0, F.lit(0.0))
+            .when(xr > 1, F.lit(1.0))
+            .otherwise(_betam_cdf_le(xr, slots))
+        )
+        hit = F.when((xr == F.lit(0.0)) | (xr == F.lit(1.0)), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+        f1lt = (
+            F.when(xr <= 0, F.lit(0.0))
+            .when(xr > 1, F.lit(1.0))
+            .otherwise(f1le - hit / F.lit(1000.0))
+        )
+        term = F.when(
+            F.col("dist") == "betam",
+            F.greatest(F.abs(f1le - rn / cn), F.abs(f1lt - (rn - 1) / cn)),
+        ).otherwise(term)
+        two_names.append("betam")
+        if spec_quantiles is not None:
+            # reference :1578-1588: the table is subsampled to m0 points at
+            # indices int(i·999/(m0-1)); comparison in z-space (the
+            # reference scales the table by sigma/ev instead — equivalent)
+            sub = [
+                float(spec_quantiles[int(i * (len(spec_quantiles) - 1) / (m0 - 1))])
+                for i in range(m0)
+            ]
+            z = (F.col("_v") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))
+            term = F.when(
+                F.col("dist") == "spec", _table_ks_terms(sub, z, rn, cn)
+            ).otherwise(term)
+            # reversed orientation (reference :1088: ks_2samp(spec, -z)),
+            # mirrored to KS(-spec, z) so the ascending-by-value rank rn
+            # still applies
+            neg_sub = sorted(-q for q in sub)
+            term = F.when(
+                F.col("dist") == "spec_rev",
+                _table_ks_terms(neg_sub, z, rn, cn),
+            ).otherwise(term)
+            two_names += ["spec", "spec_rev"]
     if test == "KS":
         agg = F.max(term).alias("stat")
         crit = F.lit(math.sqrt(-math.log(s_gof_alpha / 2.0) / 2.0)) / F.sqrt(
@@ -330,11 +614,25 @@ def s_gof_ladder(
     else:
         agg = (F.sum(term) + F.lit(1.0 / (12.0 * num_s_gof_values))).alias("stat")
         crit = F.lit(0.4614)
+    # reference :1610-1618: two-sample critical value with num_distr_val
+    # pinned at 2·num_s_gof_values, strict > for failure
+    crit2 = F.lit(
+        math.sqrt(
+            (m0 + num_s_gof_values)
+            * math.log(2.0 / s_gof_alpha)
+            / (2.0 * m0 * num_s_gof_values)
+        )
+    )
+    failed = F.when(
+        F.col("dist").isin(two_names) if two_names else F.lit(False),
+        F.col("stat") > crit2,
+    ).otherwise(F.col("stat") >= crit)
     per_chunk = (
-        ranked.groupBy(*group_cols, "chunk")
+        ranked.groupBy(*group_cols, "chunk", "dist")
         .agg(agg, F.max("_cn").alias("cn"))
         .filter(F.col("cn") >= num_s_gof_values)  # only full chunks are tested
-        .withColumn("failed", F.col("stat") >= crit)
+        .withColumn("failed", failed)
+        .drop("dist")
     )
     bt = Window.partitionBy(*group_cols).orderBy("chunk").rowsBetween(
         -(num_s_gof_bt - 1), 0

@@ -352,7 +352,10 @@ def _make_count_cluster_fn(t0: float, window_size: float):
             bt, bc, cur_w, ct, cc = state.get
             base = dict(zip(bt, bc))
             cur = dict(zip(ct, cc))
-            cur_w = int(cur_w)
+            # -1 is the 'no current window yet' sentinel written below;
+            # map it back to None so a restored pre-first-event state can
+            # never trigger flush(-1)
+            cur_w = None if cur_w == -1 else int(cur_w)
         else:
             base, cur, cur_w = {}, {}, None
         out = []
@@ -409,6 +412,230 @@ def streaming_count_cluster(
         _make_count_cluster_fn(float(t0), float(window_size)),
         CLUSTER_OUTPUT_SCHEMA,
         CLUSTER_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# EntropyDetector pipeline (demo 11): unparsed handler + NewMatchPathDetector
+# + two EntropyDetector variants as ONE stateful streaming operator
+# ---------------------------------------------------------------------------
+
+ENTROPY_PIPE_OUTPUT_SCHEMA = (
+    "ingest_order long, rank int, new_paths array<string>, crit double"
+)
+# freq tables as parallel (a*257+b) code / count arrays per variant; the
+# skip_repetitions variant also carries its learned value set
+ENTROPY_PIPE_STATE_SCHEMA = (
+    "paths array<string>, k0 array<long>, c0 array<long>, "
+    "k1 array<long>, c1 array<long>, seen array<string>"
+)
+
+_VIRTUAL = 256
+
+
+def _entropy_bigrams(value: str) -> list[tuple[int, int]]:
+    """UTF-8 byte bigram code pairs with virtual start/end (the reference
+    iterates bytes(value) with -1 sentinels, EntropyDetector.py:128-145;
+    code 256 stands in for -1, matching operators/entropy.py)."""
+    bs = list(value.encode("utf-8"))
+    padded = [_VIRTUAL] + bs + [_VIRTUAL]
+    return list(zip(padded[:-1], padded[1:]))
+
+
+def _entropy_pipeline_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Check-then-learn per atom (EntropyDetector.py:87-193) with the bigram
+    frequency tables of BOTH variants (plain / skip_repetitions) plus the
+    NewMatchPathDetector path set living in the Spark state store, so the
+    tables accumulated in earlier micro-batches score later batches'
+    atoms. Emits one rank-2/rank-3 row per parsed atom carrying the
+    critical value (thresholding happens outside, as in check_entropy);
+    rank 0 = unparsed (stop_when_handled), rank 1 = new paths."""
+    known_paths: set = set()
+    freq = [{}, {}]
+    seen: set = set()
+    if state.exists:
+        paths, k0, c0, k1, c1, sv = state.get
+        known_paths = set(paths)
+        freq[0] = {int(k): int(c) for k, c in zip(k0, c0)}
+        freq[1] = {int(k): int(c) for k, c in zip(k1, c1)}
+        seen = set(sv)
+    totals = [None, None]
+    for v in (0, 1):
+        t: dict = {}
+        for code, c in freq[v].items():
+            t[code // 257] = t.get(code // 257, 0) + c
+        totals[v] = t
+    out = []
+    all_pdfs = [p for p in pdfs]
+    for pdf in [pd.concat(all_pdfs).sort_values("ingest_order")] if all_pdfs else []:
+        for o, ok, paths, value in zip(
+            pdf["ingest_order"], pdf["parse_ok"], pdf["paths"], pdf["value"]
+        ):
+            o = int(o)
+            if not ok:
+                out.append((o, 0, None, None))
+                continue
+            new_paths = [p for p in paths if p not in known_paths]
+            if new_paths:
+                known_paths.update(new_paths)
+                out.append((o, 1, new_paths, None))
+            if value is None:
+                continue
+            pairs = _entropy_bigrams(value)
+            for v in (0, 1):
+                probs = []
+                for a, b in pairs:
+                    tot = totals[v].get(a, 0)
+                    probs.append(
+                        freq[v].get(a * 257 + b, 0) / tot if tot else 0.0
+                    )
+                out.append((o, 2 + v, None, sum(probs) / len(probs)))
+            # learn: plain always; skip variant only for first occurrence
+            for a, b in pairs:
+                freq[0][a * 257 + b] = freq[0].get(a * 257 + b, 0) + 1
+                totals[0][a] = totals[0].get(a, 0) + 1
+            if value not in seen:
+                seen.add(value)
+                for a, b in pairs:
+                    freq[1][a * 257 + b] = freq[1].get(a * 257 + b, 0) + 1
+                    totals[1][a] = totals[1].get(a, 0) + 1
+    k0 = sorted(freq[0])
+    k1 = sorted(freq[1])
+    state.update((
+        sorted(known_paths),
+        k0, [freq[0][k] for k in k0],
+        k1, [freq[1][k] for k in k1],
+        sorted(seen),
+    ))
+    yield pd.DataFrame(
+        out, columns=["ingest_order", "rank", "new_paths", "crit"]
+    )
+
+
+def streaming_entropy_pipeline(
+    stream: DataFrame, key_col: str | None = None
+) -> DataFrame:
+    """True-streaming demo-11 pipeline: SimpleUnparsedAtomHandler →
+    NewMatchPathDetector → EntropyDetector (plain) → EntropyDetector
+    (skip_repetitions), state in the Spark state store. Input columns:
+    ingest_order long, parse_ok boolean, paths array<string>, value string
+    (the entropy target; null = unparsed/out of scope). Output decision
+    rows (ingest_order, rank 0..3, new_paths, crit)."""
+    if key_col is None:
+        stream = stream.withColumn("_stream_key", F.lit("all"))
+        key_col = "_stream_key"
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _entropy_pipeline_fn,
+        ENTROPY_PIPE_OUTPUT_SCHEMA,
+        ENTROPY_PIPE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# EventFrequencyDetector (demo 3 rank 4/5): anchored windows, trailing band
+# check, empty-run warnings — per-atom replay with state across batches
+# ---------------------------------------------------------------------------
+
+FREQ_OUTPUT_SCHEMA = "ingest_order long, rank int"
+FREQ_STATE_SCHEMA = "t0 double, cur_w long, cur_cnt long, hist array<long>"
+
+
+def _make_event_frequency_fn(
+    window_size: float, num_windows: int, confidence_factor: float
+):
+    cf = float(confidence_factor)
+
+    def _fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        """EventFrequencyDetector's per-atom loop (reference
+        EventFrequencyDetector.py:186-216 + calculate_range :361-399,
+        as re-expressed batch-side by operators/event_frequency.py
+        check_event_frequency/empty-run scan): windows anchor at the first
+        atom's ts; an atom whose window index passes the open window closes
+        every intermediate window — a closed NON-EMPTY window with ≥1
+        window of history is band-checked (rank 5 anomaly at the closing
+        atom), a closed maximal EMPTY run warns once (rank 4) at the atom
+        that passes it; every closed count (zeros included) enters the
+        trailing history, capped at num_windows."""
+        t0, cur_w, cur_cnt, hist = None, None, 0, []
+        if state.exists:
+            st_t0, st_w, st_cnt, st_hist = state.get
+            t0 = None if st_t0 is None or pd.isna(st_t0) else float(st_t0)
+            cur_w = None if st_w is None or st_w < 0 else int(st_w)
+            cur_cnt = int(st_cnt)
+            hist = list(st_hist)
+        out = []
+        all_pdfs = [p for p in pdfs]
+        rows = (
+            pd.concat(all_pdfs).sort_values("ingest_order")
+            if all_pdfs
+            else pd.DataFrame(columns=["ingest_order", "ts"])
+        )
+        for o, ts in zip(rows["ingest_order"], rows["ts"]):
+            o, ts = int(o), float(ts)
+            if t0 is None:
+                t0, cur_w = ts, 0
+            w_atom = int((ts - t0) // window_size)
+            empty_run = False
+            while cur_w < w_atom:
+                if cur_cnt > 0:
+                    tail = hist[-num_windows:]
+                    if tail:
+                        mean = sum(tail) / len(tail)
+                        if len(tail) <= 1:
+                            std = mean * (1.0 - cf)
+                        else:
+                            var = sum((x - mean) ** 2 for x in tail) / len(tail)
+                            std = var ** 0.5
+                        if cur_cnt < mean - std / cf or cur_cnt > mean + std / cf:
+                            out.append((o, 5))
+                else:
+                    empty_run = True
+                hist.append(cur_cnt)
+                hist = hist[-num_windows:]
+                cur_cnt = 0
+                cur_w += 1
+            if empty_run:
+                out.append((o, 4))
+            cur_cnt += 1
+        state.update((
+            float("nan") if t0 is None else t0,
+            -1 if cur_w is None else cur_w,
+            cur_cnt,
+            hist,
+        ))
+        yield pd.DataFrame(out, columns=["ingest_order", "rank"])
+
+    return _fn
+
+
+def streaming_event_frequency(
+    stream: DataFrame,
+    window_size: float = 10.0,
+    num_windows: int = 50,
+    confidence_factor: float = 0.5,
+    key_col: str | None = None,
+) -> DataFrame:
+    """True-streaming EventFrequencyDetector: band anomalies (rank 5) and
+    empty-window warnings (rank 4) with the window anchor, open-window
+    count and trailing history in the Spark state store. Input: ingest_order
+    long, ts double. Output: (ingest_order of the closing atom, rank)."""
+    if key_col is None:
+        stream = stream.withColumn("_stream_key", F.lit("all"))
+        key_col = "_stream_key"
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _make_event_frequency_fn(
+            float(window_size), int(num_windows), float(confidence_factor)
+        ),
+        FREQ_OUTPUT_SCHEMA,
+        FREQ_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
     )

@@ -654,7 +654,11 @@ def _model3() -> P.Element:
     )
 
 
-def _spark_event_stream3(spark) -> str:
+def _spark_event_stream3(spark, freq_decisions=None) -> str:
+    """``freq_decisions``: optional [(ingest_order, rank 4|5), ...] computed
+    elsewhere (the Structured Streaming run) — substituted for the batch
+    EventFrequencyDetector decision computation so the SAME text assembly
+    certifies both execution modes byte-for-byte."""
     from logdata_anomaly_miner_spark.operators.event_frequency import (
         check_event_frequency,
     )
@@ -781,60 +785,75 @@ def _spark_event_stream3(spark) -> str:
     # full band check gives the anomalous windows; empty-window warnings
     # are the zero-count closed windows, reported at the first atom past
     # each empty run
-    freq_v = check_event_frequency(
-        ok.select(F.lit("e").alias("k"), F.col("atom_ts").alias("ts")),
-        ["k"], window_size=10.0, num_windows=50, confidence_factor=0.5,
-    )
-    t0 = ok.agg(F.min("atom_ts")).collect()[0][0]
-    viol_ws = [r["w"] for r in freq_v.select("w").collect()]
-    # counts per dense window for the empty-run scan (tiny, driver-side)
-    from logdata_anomaly_miner_spark.operators.event_frequency import (
-        anchored_window_counts,
-        densify_counts,
-    )
-    cnts = {
-        r["w"]: r["cnt"]
-        for r in densify_counts(
-            anchored_window_counts(
-                ok.select(F.lit("e").alias("k"), F.col("atom_ts").alias("ts")),
-                ["k"], 10.0,
-            ), ["k"],
-        ).collect()
-    }
     atoms_rows = sorted(
         (r["ingest_order"], r["atom_ts"], r["raw"])
         for r in ok.select("ingest_order", "atom_ts", "raw").collect()
     )
     freq_rows = []
-    w_last = max(cnts)
-    # empty-window warnings: one event per maximal empty run, at the first
-    # atom whose time passes the run (EventFrequencyDetector.py:193-201)
-    w = 0
-    while w < w_last:
-        if cnts.get(w, 0) == 0:
-            run_end = w
-            while run_end + 1 < w_last and cnts.get(run_end + 1, 0) == 0:
-                run_end += 1
-            trigger = next(
-                (a for a in atoms_rows if a[1] >= t0 + (run_end + 1) * 10.0), None
-            )
-            if trigger:
-                freq_rows.append((trigger[0], 4, (
-                    f"{_pyfmt(trigger[1])} No log events received in time window\n"
+    if freq_decisions is not None:
+        by_order = {a[0]: a for a in atoms_rows}
+        for o, rk in freq_decisions:
+            a = by_order[o]
+            if rk == 4:
+                freq_rows.append((o, 4, (
+                    f"{_pyfmt(a[1])} No log events received in time window\n"
                     f'EventFrequencyDetector: "ActFreq" (1 lines)\n\n'
                 )))
-            w = run_end + 1
-        else:
-            w += 1
-    # frequency anomalies: event carried by the last atom seen at check
-    # time (the reference passes last_seen_log[ev])
-    for wv_ in viol_ws:
-        closing = next(a for a in atoms_rows if a[1] >= t0 + (wv_ + 1) * 10.0)
-        last_seen = max(a for a in atoms_rows if a[0] <= closing[0])
-        freq_rows.append((closing[0], 5, (
-            f"{_pyfmt(last_seen[1])} Frequency anomaly detected\n"
-            f'EventFrequencyDetector: "ActFreq" (1 lines)\n  {last_seen[2]}\n\n'
-        )))
+            else:
+                freq_rows.append((o, 5, (
+                    f"{_pyfmt(a[1])} Frequency anomaly detected\n"
+                    f'EventFrequencyDetector: "ActFreq" (1 lines)\n  {a[2]}\n\n'
+                )))
+    if freq_decisions is None:
+        freq_v = check_event_frequency(
+            ok.select(F.lit("e").alias("k"), F.col("atom_ts").alias("ts")),
+            ["k"], window_size=10.0, num_windows=50, confidence_factor=0.5,
+        )
+        t0 = ok.agg(F.min("atom_ts")).collect()[0][0]
+        viol_ws = [r["w"] for r in freq_v.select("w").collect()]
+        # counts per dense window for the empty-run scan (tiny, driver-side)
+        from logdata_anomaly_miner_spark.operators.event_frequency import (
+            anchored_window_counts,
+            densify_counts,
+        )
+        cnts = {
+            r["w"]: r["cnt"]
+            for r in densify_counts(
+                anchored_window_counts(
+                    ok.select(F.lit("e").alias("k"), F.col("atom_ts").alias("ts")),
+                    ["k"], 10.0,
+                ), ["k"],
+            ).collect()
+        }
+        w_last = max(cnts)
+        # empty-window warnings: one event per maximal empty run, at the first
+        # atom whose time passes the run (EventFrequencyDetector.py:193-201)
+        w = 0
+        while w < w_last:
+            if cnts.get(w, 0) == 0:
+                run_end = w
+                while run_end + 1 < w_last and cnts.get(run_end + 1, 0) == 0:
+                    run_end += 1
+                trigger = next(
+                    (a for a in atoms_rows if a[1] >= t0 + (run_end + 1) * 10.0), None
+                )
+                if trigger:
+                    freq_rows.append((trigger[0], 4, (
+                        f"{_pyfmt(trigger[1])} No log events received in time window\n"
+                        f'EventFrequencyDetector: "ActFreq" (1 lines)\n\n'
+                    )))
+                w = run_end + 1
+            else:
+                w += 1
+        # frequency anomalies: event carried by the last atom seen at check
+        # time (the reference passes last_seen_log[ev])
+        for wv_ in viol_ws:
+            closing = next(a for a in atoms_rows if a[1] >= t0 + (wv_ + 1) * 10.0)
+            last_seen = max(a for a in atoms_rows if a[0] <= closing[0])
+            freq_rows.append((closing[0], 5, (
+                f"{_pyfmt(last_seen[1])} Frequency anomaly detected\n"
+                f'EventFrequencyDetector: "ActFreq" (1 lines)\n  {last_seen[2]}\n\n'
+            )))
     freq_ev = spark.createDataFrame(
         freq_rows, "ingest_order long, rank int, text string"
     ) if freq_rows else spark.createDataFrame([], "ingest_order long, rank int, text string")
@@ -2743,4 +2762,204 @@ def test_demo15_e2e_stream_matches_reference_golden(spark):
     with open(os.path.join(E2E, "reference_stream15.txt"), encoding="utf-8") as fh:
         want = fh.read()
     got = _spark_event_stream15(spark)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming certification beyond pipeline 1 (round-6 VERDICT
+# item 5): the demo-11 EntropyDetector golden and the demo-3
+# EventFrequencyDetector ranks, replayed under real readStream micro-batches
+# with detector state crossing batch boundaries.
+# ---------------------------------------------------------------------------
+
+
+def _stage_micro_batches(atoms, tmp_path, n_batches=3):
+    """Write ``atoms`` as n single-file parquets with increasing mtimes so
+    maxFilesPerTrigger=1 yields one deterministic micro-batch per file,
+    split on ingest_order."""
+    n = atoms.count()
+    cuts = [round(i * n / n_batches) for i in range(n_batches)] + [n + 1]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(n_batches):
+        stage = str(tmp_path / f"stage{i}")
+        atoms.filter(
+            (F.col("ingest_order") >= cuts[i]) & (F.col("ingest_order") < cuts[i + 1])
+        ).coalesce(1).write.parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = in_dir / f"{i:02d}.parquet"
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    return str(in_dir)
+
+
+def _run_stream_to_memory(spark, stream_df, name, ckpt):
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        batches = [p for p in query.recentProgress if p["numInputRows"] > 0]
+        assert len(batches) >= 3, "corpus must span >=3 micro-batches"
+    finally:
+        query.stop()
+    return spark.table(name)
+
+
+def test_demo11_e2e_structured_streaming_matches_reference_golden(
+    spark, tmp_path
+):
+    """Pipeline 11 under real Structured Streaming: the bigram tables of
+    both EntropyDetector variants (and the NewMatchPathDetector path set)
+    live in the state store while the corpus arrives as three micro-batches
+    — the check-then-learn interleaving that crosses prob_thresh mid-stream
+    must still reproduce the reference golden byte-for-byte."""
+    from logdata_anomaly_miner_spark.streaming.state import (
+        streaming_entropy_pipeline,
+    )
+
+    with open(os.path.join(E2E, "reference_stream11.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+
+    lines = read_text_lines(spark, os.path.join(E2E, "corpus11.log"))
+    parsed = (
+        P.parse(lines, "raw", _model11())
+        .withColumn("epoch", F.unix_timestamp("DTM11"))
+        .withColumn(
+            "atom_ts", F.coalesce(F.col("epoch").cast("double"), F.lit(FROZEN))
+        )
+        .withColumn(
+            "action_idx",
+            F.when(F.col("action") == "login", 0)
+            .when(F.col("action") == "logout", 1),
+        )
+        .localCheckpoint()
+    )
+    s11 = F.array(*[F.lit(p) for p in S11_PATHS])
+    atoms = parsed.select(
+        "ingest_order",
+        F.col("_parse_ok").alias("parse_ok"),
+        F.when(F.col("_parse_ok"), s11).alias("paths"),
+        F.col("name").alias("value"),
+    )
+    in_dir = _stage_micro_batches(atoms, tmp_path)
+    stream = (
+        spark.readStream.schema(atoms.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    decisions = _run_stream_to_memory(
+        spark,
+        streaming_entropy_pipeline(stream),
+        "demo11_streaming_decisions",
+        str(tmp_path / "ckpt"),
+    )
+
+    dec = decisions.join(parsed, "ingest_order")
+    block = F.concat(
+        F.lit("  /Sess: "), F.col("raw"),
+        F.lit("\n  /Sess/DTM: "), F.col("epoch").cast("string"),
+        F.lit("\n  /Sess/Fix:  user "),
+        F.lit("\n  /Sess/name: "), F.col("name"),
+        F.lit("\n  /Sess/Sp:  "),
+        F.lit("\n  /Sess/action: "), F.col("action_idx").cast("string"),
+    )
+    text = (
+        F.when(
+            F.col("rank") == 0,
+            F.concat(
+                _fmt(F.lit(FROZEN)),
+                F.lit(' Unparsed atom received\nSimpleUnparsedAtomHandler: "Unparsed11" (1 lines)\n  '),
+                F.col("raw"), F.lit("\n\n"),
+            ),
+        )
+        .when(
+            F.col("rank") == 1,
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(' New path(es) detected\nNewMatchPathDetector: "NewPath11" (1 lines)\n'),
+                block,
+                F.lit("\n['"), F.concat_ws("', '", F.col("new_paths")),
+                F.lit("']\nOriginal log line: "), F.col("raw"), F.lit("\n\n"),
+            ),
+        )
+        .when(
+            (F.col("rank") == 2) & (F.col("crit") < 0.05),
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(' Value entropy anomaly detected\nEntropyDetector: "NameEntropy" (1 lines)\n  '),
+                F.col("raw"), F.lit("\n\n"),
+            ),
+        )
+        .when(
+            (F.col("rank") == 3) & (F.col("crit") < 0.05),
+            F.concat(
+                _fmt(F.col("atom_ts")),
+                F.lit(' Value entropy anomaly detected\nEntropyDetector: "NameEntropySkip" (1 lines)\n  '),
+                F.col("raw"), F.lit("\n\n"),
+            ),
+        )
+    )
+    rows = (
+        dec.withColumn("text", text)
+        .filter(F.col("text").isNotNull())
+        .orderBy("ingest_order", "rank")
+        .collect()
+    )
+    got = "".join(r["text"] for r in rows)
+    assert got == want
+
+
+def test_demo3_e2e_structured_streaming_frequency_matches_reference_golden(
+    spark, tmp_path
+):
+    """Pipeline 3's EventFrequencyDetector ranks under real Structured
+    Streaming: window anchor, open-window count and trailing band history
+    cross micro-batch boundaries; the streaming decisions substituted into
+    the demo-3 text assembly must still match the golden byte-for-byte."""
+    from logdata_anomaly_miner_spark.streaming.state import (
+        streaming_event_frequency,
+    )
+
+    with open(os.path.join(E2E, "reference_stream3.txt"), encoding="utf-8") as fh:
+        want = fh.read()
+
+    lines = read_text_lines(spark, os.path.join(E2E, "corpus3.log"))
+    parsed = (
+        P.parse(lines, "raw", _model3())
+        .withColumn("epoch", F.unix_timestamp("DTM3"))
+        .withColumn("atom_ts", F.col("epoch").cast("double"))
+        .localCheckpoint()
+    )
+    atoms = (
+        parsed.filter(F.col("_parse_ok"))
+        .select("ingest_order", F.col("atom_ts").alias("ts"))
+    )
+    in_dir = _stage_micro_batches(atoms, tmp_path)
+    stream = (
+        spark.readStream.schema(atoms.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    decisions = _run_stream_to_memory(
+        spark,
+        streaming_event_frequency(
+            stream, window_size=10.0, num_windows=50, confidence_factor=0.5
+        ),
+        "demo3_streaming_freq_decisions",
+        str(tmp_path / "ckpt"),
+    )
+    decs = sorted(
+        (r["ingest_order"], r["rank"]) for r in decisions.collect()
+    )
+    assert decs, "frequency pipeline must emit decisions"
+    # state must matter across batches: at least one decision beyond the
+    # first third of the corpus (whose band history began in batch 1)
+    n = atoms.count()
+    assert any(o >= n // 3 for o, _ in decs)
+    got = _spark_event_stream3(spark, freq_decisions=decs)
     assert got == want

@@ -176,3 +176,105 @@ def test_no_trivially_true_join_predicates(spark, capfd):
         "a registered query constructs a self-equal join predicate:\n"
         + "\n".join(l for l in err.splitlines() if "trivially true" in l)
     )
+
+
+# ---------------------------------------------------------------------------
+# ReadSchema pruning regressions (round-6 VERDICT item 6): docs/SCALE.md's
+# column-pruning claims, locked in as explain("formatted") assertions so a
+# refactor (like the r6 merged scan) cannot silently de-prune a standalone
+# check. Each case names the plan it guards.
+# ---------------------------------------------------------------------------
+
+
+def _scan_schemas(df, loc_substr):
+    """ReadSchema strings of every parquet scan in the formatted physical
+    plan whose Location matches ``loc_substr``."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    out = []
+    # detail sections look like "(1) Scan parquet \n Output ... \n
+    # Location: InMemoryFileIndex [...] \n ReadSchema: struct<...>"
+    cur_is_scan, cur_loc = False, ""
+    for ln in plan.splitlines():
+        if re.match(r"^\(\d+\) Scan parquet", ln):
+            cur_is_scan, cur_loc = True, ""
+            continue
+        if re.match(r"^\(\d+\) ", ln):
+            cur_is_scan = False
+            continue
+        if cur_is_scan and ln.startswith("Location:"):
+            cur_loc = ln
+        if cur_is_scan and ln.startswith("ReadSchema:"):
+            if loc_substr in cur_loc:
+                out.append(ln.replace("ReadSchema:", "").strip())
+    return out
+
+
+@pytest.fixture(scope="module")
+def pruning_corpus(spark, tmp_path_factory):
+    from logdata_anomaly_miner_spark.datagen import gen_documents, gen_media
+
+    root = str(tmp_path_factory.mktemp("prune"))
+    gen_documents(spark, n_docs=200).coalesce(1).write.parquet(f"{root}/docs.parquet")
+    gen_media(spark, 50).coalesce(1).write.parquet(f"{root}/media.parquet")
+    return root
+
+
+def test_readschema_uniqueness_scans_only_doc_id(spark, pruning_corpus):
+    """SCALE.md: 'uniqueness reads ONLY doc_id'."""
+    from logdata_anomaly_miner_spark.constraints.uniqueness import (
+        duplicate_keys_salted,
+    )
+
+    docs = spark.read.parquet(f"{pruning_corpus}/docs.parquet")
+    plan = duplicate_keys_salted(docs, ["doc_id"])
+    schemas = _scan_schemas(plan, "docs.parquet")
+    assert schemas == ["struct<doc_id:string>"], schemas
+
+
+def test_readschema_referential_prunes_nested_media_ref(spark, pruning_corpus):
+    """SCALE.md: the dangling-ref scan reads only spans.media_ref — the
+    field-explode form keeps nested pruning alive (posexplode would not,
+    constraints/referential.py docstring)."""
+    from logdata_anomaly_miner_spark.constraints.referential import (
+        dangling_media_refs,
+    )
+
+    docs = spark.read.parquet(f"{pruning_corpus}/docs.parquet")
+    media = spark.read.parquet(f"{pruning_corpus}/media.parquet")
+    plan = dangling_media_refs(docs, media)
+    schemas = _scan_schemas(plan, "docs.parquet")
+    assert schemas == ["struct<spans:array<struct<media_ref:string>>>"], schemas
+
+
+def test_readschema_var_gof_scans_three_event_columns(spark):
+    """The var_gof oracle plan must scan only (event_id, event_type, value)
+    of the events table — ts/user_id/props pruned."""
+    from logdata_anomaly_miner_spark.engine_queries import QUERIES
+
+    plan = QUERIES["var_gof"](spark, SF_DIR)
+    schemas = _scan_schemas(plan, "events.parquet")
+    assert schemas, "no events scan found"
+    for s in schemas:
+        assert s == "struct<event_id:bigint,event_type:string,value:double>", s
+
+
+def test_readschema_dedup_exact_prunes_documents(spark):
+    """dedup_exact normalizes text per doc: only (doc_id, text) may be
+    read from the documents table."""
+    from logdata_anomaly_miner_spark.engine_queries import QUERIES
+
+    plan = QUERIES["dedup_exact"](spark, SF_DIR)
+    schemas = _scan_schemas(plan, "documents.parquet")
+    assert schemas, "no documents scan found"
+    # the fault-seeding union branch needs (doc_id, text); the main branch
+    # prunes all the way to text-only (doc_id never survives the grouper)
+    allowed = {"struct<doc_id:bigint,text:string>", "struct<text:string>"}
+    for s in schemas:
+        assert s in allowed, s
+    assert "struct<text:string>" in schemas

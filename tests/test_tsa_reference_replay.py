@@ -34,6 +34,8 @@ from __future__ import annotations
 import math
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from logdata_anomaly_miner_spark.operators.tsa import (
@@ -123,3 +125,115 @@ def test_ar1_estimate_within_documented_mle_tolerance(spark):
         (F.col("w") == n) & F.col("anomaly")
     )
     assert flagged.count() == 1
+
+
+def _gen_ma2(n=600, c=5.0, th1=0.6, th2=-0.3, seed=7):
+    """Seeded MA(2): y_t = c + e_t + th1·e_{t-1} + th2·e_{t-2}."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    e = rng.normal(0, 1, n + 2)
+    return list(c + e[2:] + th1 * e[1:-1] + th2 * e[:-2])
+
+
+def test_css_refinement_tightens_ma_estimates():
+    """Round-6 VERDICT item 4: the conditional-sum-of-squares Nelder–Mead
+    refinement (tsa.py _css_innovations/_nelder_mead, the statsmodels-free
+    counterpart of the reference's MLE fit, TSAArimaDetector.py:32-560)
+    must lift the Hannan–Rissanen MA start values to MLE-grade accuracy:
+    on a seeded MA(2) the HR theta_1 misses truth by ~0.14 while the CSS
+    optimum lands within ±0.02 (the round-5 documented OLS-vs-MLE band was
+    ±0.08), and the CSS objective never exceeds its HR start value."""
+    import numpy as np
+
+    from logdata_anomaly_miner_spark.operators.tsa import (
+        _css_innovations,
+        _nelder_mead,
+    )
+
+    yv = np.asarray(_gen_ma2(), dtype=np.float64)
+    p, q, slag = 0, 2, 0
+    m = max(p + q, 2)
+    ny = len(yv)
+    # HR stages exactly as arma_forecast_bands.fit
+    x1 = np.column_stack(
+        [np.ones(ny - m)] + [yv[m - k - 1 : ny - k - 1] for k in range(m)]
+    )
+    th1_, *_ = np.linalg.lstsq(x1, yv[m:], rcond=None)
+    e = np.full(ny, np.nan)
+    e[m:] = yv[m:] - x1 @ th1_
+    start = max(m + q, p, slag)
+    rows = np.arange(start, ny)
+    x2 = np.column_stack(
+        [np.ones(len(rows))] + [e[rows - k] for k in range(1, q + 1)]
+    )
+    th_hr, *_ = np.linalg.lstsq(x2, yv[rows], rcond=None)
+
+    def loss(v):
+        inn, _ = _css_innovations(v, yv, p, q, slag)
+        return float(np.sum(inn[max(p, slag):] ** 2))
+
+    th_css = _nelder_mead(loss, th_hr)
+    # HR is visibly biased on theta_1; CSS is not
+    assert abs(th_hr[1] - 0.6) > 0.1
+    assert abs(th_css[1] - 0.6) <= 0.02, th_css
+    assert abs(th_css[2] - (-0.3)) <= 0.02, th_css
+    assert loss(th_css) <= loss(th_hr) + 1e-9
+
+
+def test_arma_css_q2_spark_matches_python_replica(spark):
+    """End-to-end q=2 through the Spark operator: arma_forecast_bands with
+    css=True returns the same one-step predictions as a pure-python replay
+    of the CSS pipeline, and a clean MA(2) stream yields no 4-sigma anomalies
+    while an injected 25-sigma spike is flagged (z=1.96 would correctly flag
+    ~5%% of clean Gaussian residuals, so the no-anomaly check uses z=4)."""
+    import numpy as np
+
+    from logdata_anomaly_miner_spark.operators.tsa import (
+        _css_innovations,
+        _nelder_mead,
+        arma_forecast_bands,
+    )
+
+    vals = _gen_ma2(n=300)
+    counts = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(vals)],
+        "k string, w long, cnt double",
+    )
+    out = arma_forecast_bands(counts, ["k"], p=0, q=2, css=True, min_train=20, z=4.0)
+    rows = {r["w"]: r for r in out.collect()}
+    assert sum(1 for r in rows.values() if r["anomaly"]) == 0
+    # python replica of the operator's css path
+    yv = np.asarray(vals, dtype=np.float64)
+    p, q, slag = 0, 2, 0
+    m, ny = max(p + q, 2), len(yv)
+    x1 = np.column_stack(
+        [np.ones(ny - m)] + [yv[m - k - 1 : ny - k - 1] for k in range(m)]
+    )
+    th1_, *_ = np.linalg.lstsq(x1, yv[m:], rcond=None)
+    e = np.full(ny, np.nan)
+    e[m:] = yv[m:] - x1 @ th1_
+    start = max(m + q, p, slag)
+    rr = np.arange(start, ny)
+    x2 = np.column_stack([np.ones(len(rr))] + [e[rr - k] for k in range(1, q + 1)])
+    th_hr, *_ = np.linalg.lstsq(x2, yv[rr], rcond=None)
+
+    def loss(v):
+        inn, _ = _css_innovations(v, yv, p, q, slag)
+        return float(np.sum(inn[max(p, slag):] ** 2))
+
+    th_css = _nelder_mead(loss, th_hr)
+    e_opt, _ = _css_innovations(th_css, yv, p, q, slag)
+    for t in rr:
+        assert rows[int(t)]["pred"] == pytest.approx(
+            float(yv[t] - e_opt[t]), abs=1e-9
+        )
+    # spike detection with the same fit
+    spiked = counts.union(
+        spark.createDataFrame(
+            [("k", len(vals), 5.0 + 25.0)], "k string, w long, cnt double"
+        )
+    )
+    out2 = arma_forecast_bands(spiked, ["k"], p=0, q=2, css=True, min_train=20, z=4.0)
+    flagged = {r["w"] for r in out2.filter("anomaly").collect()}
+    assert len(vals) in flagged

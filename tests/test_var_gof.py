@@ -178,3 +178,315 @@ def test_constant_group_is_static_and_excluded_from_ladder(spark):
     lad = s_gof_ladder(df, ["g"], "v", ["i"], fit, num_init=100, num_s_gof_values=50)
     groups = {r["g"] for r in lad.collect()}
     assert groups == {"vary"}  # static group routed to d_test, not s_gof
+
+
+# ---------------------------------------------------------------------------
+# betam / spec / emp branches (reference :1065-1091, :1161-1162, :1558-1603)
+# ---------------------------------------------------------------------------
+
+REFERENCE_LIB = "/root/reference/source/root/usr/lib/logdata-anomaly-miner"
+
+
+def _ks2_exact(a, b):
+    """Exact two-sample KS statistic (scipy ks_2samp definition: both ECDFs
+    right-evaluated at every point of either sample)."""
+    a, b = sorted(float(x) for x in a), sorted(float(x) for x in b)
+
+    def ecdf_le(s, x):
+        import bisect
+
+        return bisect.bisect_right(s, x) / len(s)
+
+    pts = a + b
+    return max(abs(ecdf_le(a, x) - ecdf_le(b, x)) for x in pts)
+
+
+def _mix_points(m):
+    """The engine's 1000-point beta(1,5)/beta(5,1) quantile mixture:
+    m Bresenham grid slots carry component 1."""
+    pts = []
+    for j in range(1000):
+        u = j / 999.0
+        if (j + 1) * m // 1000 > j * m // 1000:
+            pts.append(1.0 - (1.0 - u) ** 0.2)
+        else:
+            pts.append(u ** 0.2)
+    return sorted(pts)
+
+
+def _mix_cdf_le(x, m):
+    """Closed-form mixture ECDF — plain-python replica of the engine's
+    _betam_cdf_le (identical arithmetic; the engine never materializes the
+    1000 points, and ** vs the inverse closed form can disagree by one
+    grid point right at a quantile boundary, so the STRICT parity oracle
+    must count the same way)."""
+    omx = 1.0 - x
+    omx2 = omx * omx
+    f15 = 1.0 - omx2 * omx2 * omx
+    x2 = x * x
+    f51 = x2 * x2 * x
+    k1 = min(math.floor(999.0 * f15), 999)
+    k2 = min(math.floor(999.0 * f51), 999)
+    cnt1 = math.floor((k1 + 1) * m / 1000.0)
+    cnt2 = (k2 + 1) - math.floor((k2 + 1) * m / 1000.0)
+    return (cnt1 + cnt2) / 1000.0
+
+
+def _ks2_closed(scaled_vals, m):
+    """Two-sample KS of scaled values vs the closed-form mixture ECDF,
+    using the engine's a/b-term formulation (exact sup for continuous
+    interior data; one mixture point sits exactly at each of 0 and 1)."""
+    s = sorted(scaled_vals)
+    n = len(s)
+    d = 0.0
+    for i, x in enumerate(s, start=1):
+        f = _mix_cdf_le(x, m)
+        hit = 1.0 if x in (0.0, 1.0) else 0.0
+        d = max(d, abs(f - i / n), abs(f - hit / 1000.0 - (i - 1) / n))
+    return d
+
+
+def _betam_fixture_vals(lo=3.0, hi=7.0):
+    """100 values drawn from the p=0.5 mixture itself (every 10th mixture
+    point), affinely mapped to [lo, hi]."""
+    mix = _mix_points(500)
+    return [lo + (hi - lo) * mix[j] for j in range(0, 1000, 10)]
+
+
+def test_betam_fit_wins_on_mixture_data(spark):
+    """A sample drawn from the mixed-beta shape selects 'betam', with the
+    engine's two-sample KS statistic matching an exact independent python
+    computation against the engine's own mixture construction."""
+    vals = _betam_fixture_vals()
+    df = spark.createDataFrame(_rows(vals), "g string, i long, v double")
+    out = fit_continuous(
+        df, ["g"], "v", ["i"], num_init=100, with_betam=True
+    ).collect()[0]
+    assert out["dist"] == "betam"
+    assert out["accepted"]
+    # replicate the engine semantics exactly: m from the sample stats,
+    # two-sample KS in min-max-scaled space
+    lo, hi = min(vals), max(vals)
+    mu = sum(vals) / len(vals)
+    rel = (mu - lo) / (hi - lo)
+    assert 1.0 / 6.0 < rel < 5.0 / 6.0
+    m = int((5.0 / 6.0 - rel) * 1.5 * 1000.0 + 0.5)
+    scaled = [(v - lo) / (hi - lo) for v in vals]
+    # strict: the engine's closed-form two-sample KS, replicated in python
+    assert out["stat"] == pytest.approx(_ks2_closed(scaled, m), abs=1e-9)
+    # sanity: within one grid point of the KS vs the MATERIALIZED mixture
+    # sample (** and the inverse closed form can differ by one boundary
+    # point, 1/1000 of ECDF mass)
+    assert out["stat"] == pytest.approx(
+        _ks2_exact(scaled, _mix_points(m)), abs=2e-3
+    )
+
+
+def test_betam_not_selected_on_uniform_data(spark):
+    """The betam candidate must not swallow well-fitting one-sample shapes:
+    a uniform grid still classifies 'uni' with betam enabled."""
+    vals = [((i * 37) % 101) / 101.0 for i in range(100)]
+    df = spark.createDataFrame(_rows(vals), "g string, i long, v double")
+    out = fit_continuous(
+        df, ["g"], "v", ["i"], num_init=100, with_betam=True
+    ).collect()[0]
+    assert out["dist"] == "uni" and out["accepted"]
+
+
+def test_betam_matches_reference_tables_and_selection(spark):
+    """Drive the reference's OWN shipped quantile tables (VTDData.py) through
+    the reference's mixture construction (s_gof_get_quantiles :1596-1603 /
+    detect_continuous_shape :1071-1078) and check that the engine's
+    closed-form substitution (a) stays within the tables' 3-decimal
+    interpolation error and (b) selects the same distribution under the
+    reference's p-value-branch comparison."""
+    import os
+    import sys
+
+    if not os.path.isdir(REFERENCE_LIB):
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, REFERENCE_LIB)
+    try:
+        from aminer.analysis import VTDData
+    finally:
+        sys.path.remove(REFERENCE_LIB)
+    q = VTDData.quantiles
+
+    vals = _betam_fixture_vals()
+    lo, hi = min(vals), max(vals)
+    mu = sum(vals) / len(vals)
+    rel = (mu - lo) / (hi - lo)
+    proportion = (rel - 5.0 / 6.0) / (-4.0 / 6.0)
+    # reference mixture (exact reference arithmetic, incl. banker's round)
+    idx1 = [int(round(i / proportion)) for i in range(int(round(1000 * proportion)))]
+    ref_mix = sorted(
+        [float(q["betam1"][i]) for i in idx1]
+        + [float(q["betam2"][i]) for i in range(1000) if i not in idx1]
+    )
+    m = int((5.0 / 6.0 - rel) * 1.5 * 1000.0 + 0.5)
+    eng_mix = _mix_points(m)
+    # (a) pointwise: closed form vs the shipped interpolated table
+    gap = max(abs(a - b) for a, b in zip(eng_mix, ref_mix))
+    assert gap <= 2.5e-3, gap
+    # (b) the KS statistics agree closely and the engine's pick matches the
+    # argmin-c (== reference p-value-branch argmax-p) pick computed with the
+    # REFERENCE tables
+    scaled = [(v - lo) / (hi - lo) for v in vals]
+    d_ref = _ks2_exact(scaled, ref_mix)
+    out = fit_continuous(
+        spark.createDataFrame(_rows(vals), "g string, i long, v double"),
+        ["g"], "v", ["i"], num_init=100, with_betam=True,
+    ).collect()[0]
+    assert out["stat"] == pytest.approx(d_ref, abs=5e-3)
+    n = len(vals)
+    c_betam_ref = d_ref * math.sqrt(n * 1000 / (n + 1000))
+    c_uni = _ks_uniform_py(vals) * math.sqrt(n)
+    assert c_betam_ref < c_uni  # reference tables would pick betam too
+    assert out["dist"] == "betam"
+
+
+def _emp_fixture_vals():
+    """Tight bimodal clusters: rejected by every candidate (uni/nor/beta
+    and the mixture), so the emp fallback must trigger."""
+    return [0.2 + i * 0.0004 for i in range(50)] + [
+        0.8 + i * 0.0004 for i in range(50)
+    ]
+
+
+def test_emp_fallback_classification(spark):
+    vals = _emp_fixture_vals()
+    df = spark.createDataFrame(_rows(vals), "g string, i long, v double")
+    base = fit_continuous(
+        df, ["g"], "v", ["i"], num_init=100, with_betam=True
+    ).collect()[0]
+    assert not base["accepted"]  # nothing fits
+    out = fit_continuous(
+        df, ["g"], "v", ["i"], num_init=100, with_betam=True, use_empiric=True
+    ).collect()[0]
+    assert out["dist"] == "emp"
+    assert out["stat"] is None
+    assert not out["accepted"]  # gof outcome preserved; 'emp' is the class
+    # without use_empiric the best (rejected) candidate name is kept
+    assert base["dist"] != "emp" and base["stat"] is not None
+
+
+def test_emp_ladder_two_sample_ks(spark):
+    """emp groups slide a two-sample KS against the equidistant quantile
+    subsample of the init values (s_gof_get_quantiles :1560-1574,
+    s_gof_test :1621-1624): an identically-shaped chunk passes, a drifted
+    chunk fails, and the chunk statistic equals an exact python ks_2samp
+    against the reference-constructed subsample."""
+    init = _emp_fixture_vals()
+    # same shape: 25+25 points spanning the SAME cluster ranges (doubled
+    # step, so the chunk ECDF tracks the init subsample's)
+    chunk_same = [0.2 + i * 0.0008 for i in range(25)] + [
+        0.8 + i * 0.0008 for i in range(25)
+    ]
+    chunk_drift = [0.5 + i * 0.0004 for i in range(50)]
+    vals = init + chunk_same + chunk_drift
+    df = spark.createDataFrame(_rows(vals), "g string, i long, v double")
+    fitted = fit_continuous(
+        df, ["g"], "v", ["i"], num_init=100, with_betam=True, use_empiric=True
+    )
+    out = s_gof_ladder(
+        df, ["g"], "v", ["i"], fitted,
+        num_init=100, num_s_gof_values=50, num_s_gof_bt=3,
+    ).collect()
+    by_chunk = {r["chunk"]: r for r in out}
+    # reference subsample: indices int(num_init*j/(2*num_s)) of sorted init
+    s = 50
+    sorted_init = sorted(init)
+    sub = [sorted_init[int(100 * j / (2 * s))] for j in range(2 * s)]
+    crit2 = math.sqrt((2 * s + s) * math.log(2 / 0.05) / (2 * 2 * s * s))
+    d0 = _ks2_exact(sub, chunk_same)
+    d1 = _ks2_exact(sub, chunk_drift)
+    assert by_chunk[0]["stat"] == pytest.approx(d0, abs=1e-9)
+    assert by_chunk[1]["stat"] == pytest.approx(d1, abs=1e-9)
+    assert bool(by_chunk[0]["failed"]) == (d0 > crit2)
+    assert bool(by_chunk[1]["failed"]) == (d1 > crit2)
+    assert not by_chunk[0]["failed"] and by_chunk[1]["failed"]
+
+
+def test_betam_ladder_chunk_stat(spark):
+    """betam groups slide the closed-form mixture ECDF scaled back to value
+    space; chunk statistics match the exact python two-sample KS against
+    the engine mixture, including values outside [vmin, vmax]."""
+    init = _betam_fixture_vals()
+    chunk_same = _betam_fixture_vals()[::2]  # 50 mixture-shaped values
+    chunk_out = [8.0 + 0.01 * i for i in range(50)]  # beyond vmax
+    vals = init + chunk_same + chunk_out
+    df = spark.createDataFrame(_rows(vals), "g string, i long, v double")
+    fitted = fit_continuous(df, ["g"], "v", ["i"], num_init=100, with_betam=True)
+    assert fitted.collect()[0]["dist"] == "betam"
+    out = s_gof_ladder(
+        df, ["g"], "v", ["i"], fitted, num_init=100, num_s_gof_values=50
+    ).collect()
+    by_chunk = {r["chunk"]: r for r in out}
+    lo, hi = min(init), max(init)
+    mu = sum(init) / len(init)
+    m = int((5.0 / 6.0 - (mu - lo) / (hi - lo)) * 1.5 * 1000.0 + 0.5)
+    # strict: closed-form replica in value space (clip to [0,1] mirrors the
+    # ladder's out-of-range saturation)
+    def d_closed(chunk):
+        s = sorted(chunk)
+        n = len(s)
+        d = 0.0
+        for i, v in enumerate(s, start=1):
+            xr = (v - lo) / (hi - lo)
+            x = min(max(xr, 0.0), 1.0)
+            f = 1.0 if xr > 1 else (0.0 if xr < 0 else _mix_cdf_le(x, m))
+            hit = 1.0 if 0.0 <= xr <= 1.0 and x in (0.0, 1.0) else 0.0
+            flt = 1.0 if xr > 1 else (0.0 if xr <= 0 else f - hit / 1000.0)
+            d = max(d, abs(f - i / n), abs(flt - (i - 1) / n))
+        return d
+
+    assert by_chunk[0]["stat"] == pytest.approx(d_closed(chunk_same), abs=1e-9)
+    assert by_chunk[1]["stat"] == pytest.approx(d_closed(chunk_out), abs=1e-9)
+    # sanity vs the materialized mixture sample (one-grid-point tolerance)
+    mix_scaled = [lo + (hi - lo) * x for x in _mix_points(m)]
+    assert by_chunk[0]["stat"] == pytest.approx(
+        _ks2_exact(mix_scaled, chunk_same), abs=2e-3
+    )
+    assert by_chunk[1]["stat"] == pytest.approx(
+        _ks2_exact(mix_scaled, chunk_out), abs=2e-3
+    )
+    assert not by_chunk[0]["failed"] and by_chunk[1]["failed"]
+
+
+def test_spec_candidate_with_injected_table(spark):
+    """The 'spec' candidate takes its quantile table as configuration (the
+    reference ships its self-generated table as data, VTDData.py): a sample
+    drawn from the table selects 'spec', the statistic matches exact python
+    ks_2samp in z-space, and the mirrored orientation is exposed as
+    'spec_rev'."""
+    import os
+    import sys
+
+    if os.path.isdir(REFERENCE_LIB):
+        sys.path.insert(0, REFERENCE_LIB)
+        try:
+            from aminer.analysis import VTDData
+        finally:
+            sys.path.remove(REFERENCE_LIB)
+        table = [float(x) for x in VTDData.quantiles["spec"]]
+    else:  # synthetic right-skewed standardized table
+        table = sorted(
+            ((i + 0.5) / 1000.0) ** 0.35 * 4.0 - 2.0 for i in range(1000)
+        )
+    vals = [5.0 + 2.0 * table[j] for j in range(0, 1000, 10)]
+    df = spark.createDataFrame(_rows(vals), "g string, i long, v double")
+    out = fit_continuous(
+        df, ["g"], "v", ["i"], num_init=100, spec_quantiles=table
+    ).collect()[0]
+    assert out["dist"] == "spec"
+    mu = sum(vals) / len(vals)
+    sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / len(vals))
+    zs = [(v - mu) / sd for v in vals]
+    assert out["stat"] == pytest.approx(_ks2_exact(table, zs), abs=1e-9)
+    # mirrored sample picks the reversed orientation
+    vals_rev = [5.0 - 2.0 * table[j] for j in range(0, 1000, 10)]
+    df_rev = spark.createDataFrame(_rows(vals_rev), "g string, i long, v double")
+    out_rev = fit_continuous(
+        df_rev, ["g"], "v", ["i"], num_init=100, spec_quantiles=table
+    ).collect()[0]
+    assert out_rev["dist"] == "spec_rev"
