@@ -286,6 +286,66 @@ def _css_innovations(params, yv, p, q, slag):
     return e, start
 
 
+def _arma_state_space(phi, th):
+    """Harvey state-space form of a zero-mean ARMA(p,q): state dim
+    r = max(p, q+1), transition T (phi in the first column + shifted
+    identity), disturbance loading R = (1, th_1..th_q, 0..)."""
+    p, q = len(phi), len(th)
+    r = max(p, q + 1)
+    T = np.zeros((r, r))
+    T[:p, 0] = phi
+    T[:-1, 1:] = np.eye(r - 1)
+    R = np.zeros(r)
+    R[0] = 1.0
+    R[1 : 1 + q] = th
+    return T, R
+
+
+def _kalman_concentrated_nll(params, yv, p, q):
+    """Exact Gaussian likelihood of ARMA(p,q)+mean via the Kalman filter
+    with the stationary initial covariance (Lyapunov solve) and the
+    innovation variance concentrated out:
+        -2 ln L  ∝  n·ln( (1/n)·Σ v_t²/F_t ) + Σ ln F_t.
+    params = [c, phi_1..p, th_1..q] in the CSS layout; the mean is
+    mu = c / (1 - Σphi). Non-stationary phi → +inf."""
+    c = params[0]
+    phi = np.asarray(params[1 : 1 + p], dtype=np.float64)
+    th = np.asarray(params[1 + p : 1 + p + q], dtype=np.float64)
+    T, R = _arma_state_space(phi, th)
+    r = T.shape[0]
+    if np.max(np.abs(np.linalg.eigvals(T))) >= 1.0 - 1e-10:
+        return np.inf, None
+    denom = 1.0 - phi.sum()
+    if abs(denom) < 1e-10:
+        return np.inf, None
+    mu = c / denom
+    x = yv - mu
+    RR = np.outer(R, R)
+    # stationary P0: vec(P) = (I - T⊗T)^{-1} vec(RR')  (sigma² = 1)
+    P = np.linalg.solve(
+        np.eye(r * r) - np.kron(T, T), RR.reshape(-1)
+    ).reshape(r, r)
+    a = np.zeros(r)
+    n = len(x)
+    ssq, logf = 0.0, 0.0
+    v = np.empty(n)
+    Zr = np.zeros(r)
+    Zr[0] = 1.0
+    for t in range(n):
+        f = P[0, 0]
+        if f <= 0:
+            return np.inf, None
+        vt = x[t] - a[0]
+        v[t] = vt
+        ssq += vt * vt / f
+        logf += np.log(f)
+        k = P[:, 0] / f
+        a = T @ (a + k * vt)
+        P = T @ (P - np.outer(k, P[0, :])) @ T.T + RR
+    nll = n * np.log(ssq / n) + logf
+    return nll, yv - v  # one-step predictions in level space of yv
+
+
 def arma_forecast_bands(
     counts: DataFrame,
     key_cols: Sequence[str],
@@ -298,6 +358,7 @@ def arma_forecast_bands(
     cnt_col: str = "cnt",
     w_col: str = "w",
     css: bool = False,
+    method: str | None = None,
 ) -> DataFrame:
     """General ARMA(p,q) (+optional d=1 differencing and one seasonal AR
     lag) per key via applyInPandas — the full-surface analog of the
@@ -311,13 +372,28 @@ def arma_forecast_bands(
     Arrow batch per key; keys distribute across executors; series length
     is bounded by the window-count domain.
 
-    ``css=True`` refines the HR stage-2 estimate (which is its start value)
-    by minimizing the conditional sum of squares with a pure-numpy
-    Nelder–Mead — the statsmodels-free counterpart of the reference's MLE
-    fit (CSS and exact MLE agree to O(1/n)); this removes the HR
-    innovation-substitution bias on MA terms and is what makes q >= 2
-    estimates accurate. Only engaged when q > 0 — for pure AR(+seasonal)
-    models the stage-2 OLS already IS the exact CSS optimum."""
+    ``method`` selects the estimator tier (default 'hr'; ``css=True`` is a
+    shorthand for method='css'):
+    - 'hr'  — Hannan–Rissanen two-stage OLS (closed form, fastest);
+    - 'css' — refines the HR estimate (its start value) by minimizing the
+      conditional sum of squares with a pure-numpy Nelder–Mead; removes
+      the HR innovation-substitution bias on MA terms and makes q >= 2
+      accurate. Only engaged when q > 0 — for pure AR(+seasonal) models
+      the stage-2 OLS already IS the exact CSS optimum.
+    - 'mle' — EXACT Gaussian maximum likelihood via a Kalman filter over
+      the Harvey state-space form with the stationary (Lyapunov) initial
+      covariance and the innovation variance concentrated out — the
+      statsmodels-equivalent estimator (ARIMA method='statespace'), pure
+      numpy; started from the CSS optimum. Differs from CSS by the exact
+      treatment of the first max(p,q+1) observations — the O(1/n) edge
+      that matters on short series. Not available with seasonal_lag (the
+      state-space form here carries no seasonal AR term)."""
+    if method is None:
+        method = "css" if css else "hr"
+    if method not in ("hr", "css", "mle"):
+        raise ValueError("method must be 'hr', 'css' or 'mle'")
+    if method == "mle" and seasonal_lag:
+        raise ValueError("method='mle' does not support seasonal_lag")
     in_types = {f.name: f.dataType.simpleString() for f in counts.schema.fields}
     schema = (
         ", ".join(f"{c} {in_types[c]}" for c in key_cols)
@@ -352,16 +428,28 @@ def arma_forecast_bands(
                 cols.append(yv[rows - slag])
             x2 = np.column_stack(cols)
             th2, *_ = np.linalg.lstsq(x2, yv[rows], rcond=None)
-            if css and q > 0:
+            if method == "css" and q > 0 or method == "mle":
                 cstart = max(p, slag)
 
                 def loss(v):
                     inn, _ = _css_innovations(v, yv, p, q, slag)
                     return float(np.sum(inn[cstart:] ** 2))
 
-                th_opt = _nelder_mead(loss, th2)
-                e_opt, _ = _css_innovations(th_opt, yv, p, q, slag)
-                preds_y[rows] = yv[rows] - e_opt[rows]
+                th_opt = _nelder_mead(loss, th2) if (p + q) else th2
+                if method == "mle":
+                    th_opt = _nelder_mead(
+                        lambda v: _kalman_concentrated_nll(v, yv, p, q)[0],
+                        th_opt,
+                    )
+                    _, pred_full = _kalman_concentrated_nll(th_opt, yv, p, q)
+                    if pred_full is not None:
+                        preds_y[rows] = pred_full[rows]
+                    else:  # non-stationary optimum — fall back to CSS preds
+                        e_opt, _ = _css_innovations(th_opt, yv, p, q, slag)
+                        preds_y[rows] = yv[rows] - e_opt[rows]
+                else:
+                    e_opt, _ = _css_innovations(th_opt, yv, p, q, slag)
+                    preds_y[rows] = yv[rows] - e_opt[rows]
             else:
                 preds_y[rows] = x2 @ th2
         # reconstitute to level space

@@ -237,3 +237,96 @@ def test_arma_css_q2_spark_matches_python_replica(spark):
     out2 = arma_forecast_bands(spiked, ["k"], p=0, q=2, css=True, min_train=20, z=4.0)
     flagged = {r["w"] for r in out2.filter("anomaly").collect()}
     assert len(vals) in flagged
+
+
+def test_kalman_exact_likelihood_matches_ar1_closed_form():
+    """method='mle' estimator core: the Kalman concentrated negative
+    log-likelihood (tsa.py _kalman_concentrated_nll — Harvey state space,
+    stationary Lyapunov init, sigma² concentrated out) must equal the
+    KNOWN closed form of the exact AR(1) Gaussian likelihood,
+    n·ln(ssq/n) - ln(1-phi²) with ssq = (1-phi²)(y1-mu)² + Σ(x_t-phi·x_{t-1})²,
+    to numerical precision."""
+    import numpy as np
+
+    from logdata_anomaly_miner_spark.operators.tsa import (
+        _kalman_concentrated_nll,
+    )
+
+    rng = np.random.default_rng(11)
+    n, mu = 200, 5.0
+    y = np.zeros(n)
+    y[0] = mu + rng.normal(0, 1 / math.sqrt(1 - 0.49))
+    for t in range(1, n):
+        y[t] = mu + 0.7 * (y[t - 1] - mu) + rng.normal()
+
+    def closed(c, ph):
+        m = c / (1 - ph)
+        x = y - m
+        ssq = (1 - ph * ph) * x[0] ** 2 + float(np.sum((x[1:] - ph * x[:-1]) ** 2))
+        return n * math.log(ssq / n) - math.log(1 - ph * ph)
+
+    for ph in (0.3, 0.7, 0.9):
+        c = mu * (1 - ph)
+        k, preds = _kalman_concentrated_nll([c, ph], y, 1, 0)
+        assert k == pytest.approx(closed(c, ph), abs=1e-9)
+        assert preds is not None and len(preds) == n
+
+
+def test_mle_tier_improves_likelihood_and_runs_end_to_end(spark):
+    """method='mle' through the Spark operator: on a short near-boundary
+    MA(1) the exact-MLE estimate must not worsen the exact likelihood
+    achieved by the CSS start (it optimizes it), the operator runs
+    end-to-end with clean data unflagged at 4 sigma, and an injected spike
+    is caught."""
+    import numpy as np
+
+    from logdata_anomaly_miner_spark.operators.tsa import (
+        _css_innovations,
+        _kalman_concentrated_nll,
+        _nelder_mead,
+        arma_forecast_bands,
+    )
+
+    rng = np.random.default_rng(11)
+    n, th = 80, 0.9
+    e = rng.normal(0, 1, n + 1)
+    vals = [float(v) for v in 3.0 + e[1:] + th * e[:-1]]
+    counts = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "k string, w long, cnt double"
+    )
+    out = arma_forecast_bands(
+        counts, ["k"], p=0, q=1, method="mle", min_train=20, z=4.0
+    )
+    rows = {r["w"]: r for r in out.collect()}
+    assert sum(1 for r in rows.values() if r["anomaly"]) == 0
+    assert sum(1 for r in rows.values() if r["pred"] is not None) > 50
+    # python replica: CSS start -> Kalman optimum never worse in exact NLL
+    yv = np.asarray(vals)
+    m = 2
+    x1 = np.column_stack(
+        [np.ones(n - m)] + [yv[m - k - 1 : n - k - 1] for k in range(m)]
+    )
+    t1, *_ = np.linalg.lstsq(x1, yv[m:], rcond=None)
+    eh = np.full(n, np.nan)
+    eh[m:] = yv[m:] - x1 @ t1
+    rr = np.arange(m + 1, n)
+    x2 = np.column_stack([np.ones(len(rr)), eh[rr - 1]])
+    th_hr, *_ = np.linalg.lstsq(x2, yv[rr], rcond=None)
+    th_css = _nelder_mead(
+        lambda v: float(np.sum(_css_innovations(v, yv, 0, 1, 0)[0] ** 2)), th_hr
+    )
+    th_mle = _nelder_mead(
+        lambda v: _kalman_concentrated_nll(v, yv, 0, 1)[0], th_css
+    )
+    nll_css = _kalman_concentrated_nll(th_css, yv, 0, 1)[0]
+    nll_mle = _kalman_concentrated_nll(th_mle, yv, 0, 1)[0]
+    assert nll_mle <= nll_css + 1e-9
+    assert abs(th_mle[1] - th) < 0.15  # near truth on this seed
+    # spike caught by the same fit
+    spiked = counts.union(
+        spark.createDataFrame([("k", n, 3.0 + 25.0)], "k string, w long, cnt double")
+    )
+    out2 = arma_forecast_bands(
+        spiked, ["k"], p=0, q=1, method="mle", min_train=20, z=4.0
+    )
+    assert n in {r["w"] for r in out2.filter("anomaly").collect()}
