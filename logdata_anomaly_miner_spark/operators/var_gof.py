@@ -116,12 +116,67 @@ def _beta_int_cdf(x: Column, a: int, b: int) -> Column:
     return out
 
 
+def _beta_int_quantile(pp: float, a: int, b: int) -> float:
+    """Quantile of beta(a, b) for integer a, b by bisection on the
+    closed-form polynomial CDF (pure driver-side math — regenerates the
+    reference's numerically-tabulated offsets, VTDData.quantiles, from
+    first principles)."""
+    n = a + b - 1
+
+    def cdf(x: float) -> float:
+        return sum(
+            math.comb(n, j) * x**j * (1 - x) ** (n - j) for j in range(a, n + 1)
+        )
+
+    lo, hi = 0.0, 1.0
+    for _ in range(80):
+        mid = (lo + hi) / 2.0
+        if cdf(mid) < pp:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+def cm_boundary_mods(num_init: int) -> dict[str, float]:
+    """The reference's CM-mode min/max boundary modifiers
+    (VariableTypeDetector.py:360-385): the expected positions of the sample
+    minimum/maximum under each candidate — uniform gets the exact
+    1/(n+1), the betas the p = round3(1/(n+1)) / round3(n/(n+1))
+    quantiles. The reference reads those quantiles from its shipped
+    3-decimal tables (VTDData.quantiles['beta1'/'beta2'/'beta4']); the
+    engine evaluates the exact closed forms (arcsine sin²(πp/2) for
+    beta(0.5,0.5), 1-(1-p)^(1/5) for beta(1,5), polynomial-CDF bisection
+    for beta(5,2)) — pointwise within ~5e-4 of the tables, asserted by
+    test_cm_mods_match_reference_tables."""
+    pmin = max(0.001, int(1 / (num_init + 1) * 1000 + 0.5) / 1000)
+    pmax = min(0.999, int(num_init / (num_init + 1) * 1000 + 0.5) / 1000)
+    return {
+        "min_uni": 1.0 / (num_init + 1),
+        "max_uni": 1.0 / (num_init + 1),
+        "min_b1": math.sin(math.pi * pmin / 2.0) ** 2,
+        "max_b1": 1.0 - math.sin(math.pi * pmax / 2.0) ** 2,
+        "min_b2": _beta_int_quantile(pmin, 5, 2),
+        "max_b2": 1.0 - _beta_int_quantile(pmax, 5, 2),
+        "min_b4": 1.0 - (1.0 - pmin) ** 0.2,
+    }
+
+
 def candidate_cdfs(
-    v: Column, mn: Column, mx: Column, mu: Column, sigma: Column
+    v: Column,
+    mn: Column,
+    mx: Column,
+    mu: Column,
+    sigma: Column,
+    cm_mods: dict[str, float] | None = None,
 ) -> list[tuple[str, Column]]:
     """(name, F(v)) per candidate, standardized exactly like the reference
-    (VariableTypeDetector.py:984-1046). mn/mx/mu/sigma are per-group
-    aggregate columns over the init sample.
+    (VariableTypeDetector.py:984-1046 for the KS branch; with ``cm_mods``
+    the CM branch's boundary-modified transformations, :1105-1150 — the
+    sample min/max are mapped to their EXPECTED positions under each
+    candidate instead of to 0/1, and beta4/beta5 anchor on the sample mean
+    rather than z-scores). mn/mx/mu/sigma are per-group aggregate columns
+    over the init sample.
 
     nullif guards: for a CONSTANT group sigma = 0 and mx = mn, and ANSI
     mode (Spark 4 default) raises DIVIDE_BY_ZERO even for doubles — the
@@ -129,13 +184,35 @@ def candidate_cdfs(
     downstream), not abort the job."""
     z = (v - mu) / F.nullif(sigma, F.lit(0.0))
     rng = F.nullif(mx - mn, F.lit(0.0))
+    x01 = (v - mn) / rng
+    if cm_mods is not None:
+        M = cm_mods
+        x_uni = x01 * F.lit(1.0 - M["min_uni"] - M["max_uni"]) + F.lit(M["min_uni"])
+        x_b1 = x01 * F.lit(1.0 - M["min_b1"] - M["max_b1"]) + F.lit(M["min_b1"])
+        x_b2 = x01 * F.lit(1.0 - M["max_b2"] - M["min_b2"]) + F.lit(M["min_b2"])
+        x_b3 = x01 * F.lit(1.0 - M["max_b2"] - M["min_b2"]) + F.lit(M["max_b2"])
+        x_b4 = (v - mn) / F.nullif(mu - mn, F.lit(0.0)) * F.lit(
+            1.0 / 6.0 - M["min_b4"]
+        ) + F.lit(M["min_b4"])
+        x_b5 = (v - mx) / F.nullif(mx - mu, F.lit(0.0)) * F.lit(
+            1.0 / 6.0 - M["min_b4"]
+        ) + F.lit(1.0 - M["min_b4"])
+        return [
+            ("uni", _clip01(x_uni)),
+            ("nor", _norm_cdf(z)),
+            ("beta1", F.lit(2.0 / math.pi) * F.asin(F.sqrt(_clip01(x_b1)))),
+            ("beta2", _beta_int_cdf(x_b2, 5, 2)),
+            ("beta3", _beta_int_cdf(x_b3, 2, 5)),
+            ("beta4", _beta_int_cdf(x_b4, 1, 5)),
+            ("beta5", _beta_int_cdf(x_b5, 5, 1)),
+        ]
     return [
-        ("uni", _clip01((v - mn) / rng)),
+        ("uni", _clip01(x01)),
         ("nor", _norm_cdf(z)),
         # arcsine beta(0.5, 0.5) on the min-max-scaled value
         (
             "beta1",
-            F.lit(2.0 / math.pi) * F.asin(F.sqrt(_clip01((v - mn) / rng))),
+            F.lit(2.0 / math.pi) * F.asin(F.sqrt(_clip01(x01))),
         ),
         # beta(5,2): z·√(10/8)/7 + 5/7
         (
@@ -320,6 +397,7 @@ def fit_continuous(
                 float(len(spec_quantiles)),
             )
         )
+    mods = cm_boundary_mods(num_init) if test == "CM" else None
     terms = ranked.select(
         *group_cols,
         "n",
@@ -330,7 +408,12 @@ def fit_continuous(
         *[
             _gof_terms(test, cdf, rn, n).alias(f"_t_{name}")
             for name, cdf in candidate_cdfs(
-                F.col("_v"), F.col("vmin"), F.col("vmax"), F.col("mu"), F.col("sigma")
+                F.col("_v"),
+                F.col("vmin"),
+                F.col("vmax"),
+                F.col("mu"),
+                F.col("sigma"),
+                cm_mods=mods,
             )
         ],
         *[term.alias(f"_t_{name}") for name, term, _ in two_sample],

@@ -490,3 +490,60 @@ def test_spec_candidate_with_injected_table(spark):
         df_rev, ["g"], "v", ["i"], num_init=100, spec_quantiles=table
     ).collect()[0]
     assert out_rev["dist"] == "spec_rev"
+
+
+def test_cm_mods_match_reference_tables():
+    """cm_boundary_mods regenerates the reference's boundary modifiers
+    (VariableTypeDetector.py:360-385) from closed forms; the reference
+    reads them from its numerically-tabulated 3-decimal quantile dicts
+    (VTDData.quantiles) — both must agree within the tables' precision."""
+    import os
+    import sys
+
+    from logdata_anomaly_miner_spark.operators.var_gof import cm_boundary_mods
+
+    if not os.path.isdir(REFERENCE_LIB):
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, REFERENCE_LIB)
+    try:
+        from aminer.analysis import VTDData
+    finally:
+        sys.path.remove(REFERENCE_LIB)
+    q = VTDData.quantiles
+    for num_init in (50, 100, 150):
+        pmin = max(0.001, int(1 / (num_init + 1) * 1000 + 0.5) / 1000)
+        pmax = min(0.999, int(num_init / (num_init + 1) * 1000 + 0.5) / 1000)
+        ref = {
+            "min_uni": 1 / (num_init + 1),
+            "max_uni": 1 / (num_init + 1),
+            "min_b1": q["beta1"][pmin],
+            "max_b1": 1 - q["beta1"][pmax],
+            "min_b2": q["beta2"][pmin],
+            "max_b2": 1 - q["beta2"][pmax],
+            "min_b4": q["beta4"][pmin],
+        }
+        got = cm_boundary_mods(num_init)
+        for k in ref:
+            assert got[k] == pytest.approx(ref[k], abs=5e-4), (num_init, k)
+
+
+def test_cm_mode_boundary_mod_statistic_matches_python(spark):
+    """CM-mode uniform candidate with boundary modifiers: the engine's
+    CvM statistic equals a plain-python replica of the reference's
+    transformed test (uniform fixture; uni must still win and accept)."""
+    from logdata_anomaly_miner_spark.operators.var_gof import cm_boundary_mods
+
+    vals = [(i + 0.5) / 100 for i in range(100)]
+    df = spark.createDataFrame(_rows(vals), "g string, i long, v double")
+    out = fit_continuous(df, ["g"], "v", ["i"], num_init=100, test="CM").collect()[0]
+    assert out["dist"] == "uni" and out["accepted"]
+    M = cm_boundary_mods(100)
+    lo, hi = min(vals), max(vals)
+    n = len(vals)
+    s = sorted(vals)
+    w2 = 1.0 / (12.0 * n)
+    for i, v in enumerate(s, start=1):
+        x = (v - lo) / (hi - lo) * (1 - M["min_uni"] - M["max_uni"]) + M["min_uni"]
+        x = min(max(x, 0.0), 1.0)
+        w2 += (x - (2 * i - 1) / (2.0 * n)) ** 2
+    assert out["stat"] == pytest.approx(w2, abs=1e-12)
