@@ -17,6 +17,8 @@ import os
 import tempfile
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -265,3 +267,161 @@ def test_streaming_count_cluster_equals_batch(spark):
     assert got[("u2", 1)] == 1.0          # no baseline -> all mass unmatched
     # u1 w2 {A:4} vs baseline {A:2,B:1}: (|4-2| + |0-1|) / (4 + 3)
     assert got[("u1", 2)] == round(3.0 / 7.0, 9)
+
+
+def test_streaming_entropy_pipeline_equals_batch_sequential(spark):
+    """streaming_entropy_pipeline (bigram tables in the state store across
+    micro-batches) ≡ batch score_entropy_sequential for BOTH variants:
+    per-atom critical values must match exactly, including atoms scored in
+    batch 3 against tables accumulated in batches 1-2."""
+    from logdata_anomaly_miner_spark.operators.entropy import (
+        score_entropy_sequential,
+    )
+    from logdata_anomaly_miner_spark.streaming.state import (
+        streaming_entropy_pipeline,
+    )
+
+    # deterministic LCG words with repeats and one late outlier
+    seed = 17
+    words = []
+    for i in range(60):
+        seed = (seed * 1103515245 + 12345) % (2**31)
+        words.append("abcde"[seed % 3] * (seed % 4 + 1) + "xy"[seed % 2])
+    words[45] = "@@##$$"  # late high-entropy outlier
+    rows = [(i, True, ["/p"], w) for i, w in enumerate(words)]
+    schema = "ingest_order long, parse_ok boolean, paths array<string>, value string"
+    with tempfile.TemporaryDirectory() as d:
+        os.makedirs(f"{d}/in")
+        for lo, hi in ((0, 20), (20, 40), (40, 60)):
+            spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{d}/in")
+            time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/in")
+        )
+        q = (
+            streaming_entropy_pipeline(stream)
+            .writeStream.format("memory").queryName("sbe_entropy")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert len([p for p in q.recentProgress if p["numInputRows"]]) >= 3
+        got = {
+            (r["ingest_order"], r["rank"]): r["crit"]
+            for r in spark.sql("select * from sbe_entropy").collect()
+            if r["rank"] in (2, 3)
+        }
+    vals = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "ingest_order long, value string"
+    )
+    for rank, skip in ((2, False), (3, True)):
+        batch = {
+            r["ingest_order"]: r["critical_val"]
+            for r in score_entropy_sequential(
+                vals, "value", "ingest_order", skip_repetitions=skip
+            ).collect()
+        }
+        assert set(batch) == {o for (o, rk) in got if rk == rank}
+        for o, cv in batch.items():
+            assert got[(o, rank)] == pytest.approx(cv, abs=1e-12), (rank, o)
+
+
+def test_streaming_event_frequency_equals_batch(spark):
+    """streaming_event_frequency (anchor/open-count/band-history in the
+    state store) ≡ batch check_event_frequency + the empty-run scan: the
+    decision sets (closing atom, rank) must coincide on a stream with a
+    quiet gap (empty-window warning) and a burst (band anomaly), split
+    across micro-batches."""
+    from logdata_anomaly_miner_spark.operators.event_frequency import (
+        anchored_window_counts,
+        check_event_frequency,
+        densify_counts,
+    )
+    from logdata_anomaly_miner_spark.streaming.state import (
+        streaming_event_frequency,
+    )
+
+    ws, nw, cf = 10.0, 50, 0.5
+    ts = []
+    t = 0.0
+    for w in range(12):
+        if w in (5, 6):            # two empty windows
+            continue
+        n = 20 if w == 9 else 3    # burst in window 9
+        for i in range(n):
+            ts.append(w * ws + i * (ws / (n + 1)) + 0.01)
+    rows = [(i, v) for i, v in enumerate(sorted(ts))]
+    schema = "ingest_order long, ts double"
+    with tempfile.TemporaryDirectory() as d:
+        os.makedirs(f"{d}/in")
+        third = len(rows) // 3
+        for lo, hi in ((0, third), (third, 2 * third), (2 * third, len(rows))):
+            spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{d}/in")
+            time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/in")
+        )
+        q = (
+            streaming_event_frequency(
+                stream, window_size=ws, num_windows=nw, confidence_factor=cf
+            )
+            .writeStream.format("memory").queryName("sbe_freq")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["ingest_order"], r["rank"])
+            for r in spark.sql("select * from sbe_freq").collect()
+        }
+    # batch expectation: violations -> closing atom; empty runs -> trigger
+    ev = spark.createDataFrame(rows, schema).select(
+        F.lit("e").alias("k"), F.col("ts")
+    )
+    viol_ws = [
+        r["w"]
+        for r in check_event_frequency(
+            ev, ["k"], window_size=ws, num_windows=nw, confidence_factor=cf
+        ).collect()
+    ]
+    cnts = {
+        r["w"]: r["cnt"]
+        for r in densify_counts(
+            anchored_window_counts(ev, ["k"], ws), ["k"]
+        ).collect()
+    }
+    t0 = min(v for _, v in rows)
+    atoms = rows
+    expect = set()
+    for wv in viol_ws:
+        closing = next(a for a in atoms if a[1] >= t0 + (wv + 1) * ws)
+        expect.add((closing[0], 5))
+    w = 0
+    w_last = max(cnts)
+    while w < w_last:
+        if cnts.get(w, 0) == 0:
+            run_end = w
+            while run_end + 1 < w_last and cnts.get(run_end + 1, 0) == 0:
+                run_end += 1
+            trig = next(
+                (a for a in atoms if a[1] >= t0 + (run_end + 1) * ws), None
+            )
+            if trig:
+                expect.add((trig[0], 4))
+            w = run_end + 1
+        else:
+            w += 1
+    assert (4 in {rk for _, rk in expect}) and (5 in {rk for _, rk in expect})
+    assert got == expect
