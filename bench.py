@@ -204,7 +204,9 @@ def main() -> None:
         "cpu_ref": cpu_ref,
         "suite_metrics": res.metrics if res else None,
     }
-    os.makedirs(os.path.dirname(DETAIL_PATH), exist_ok=True)
+    detail_dir = os.path.dirname(DETAIL_PATH)
+    if detail_dir:
+        os.makedirs(detail_dir, exist_ok=True)
     with open(DETAIL_PATH, "w") as fh:
         json.dump(detail, fh, indent=1)
     headline = {

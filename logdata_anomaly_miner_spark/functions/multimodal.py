@@ -143,14 +143,12 @@ def _builtin_image_gray(payload: bytes) -> np.ndarray | None:
     import struct
 
     try:
-        return _builtin_image_gray_strict(payload)
-    except (ValueError, struct.error, IndexError):
+        return _builtin_image_gray_strict(payload, struct)
+    except (ValueError, struct.error):
         return None
 
 
-def _builtin_image_gray_strict(payload: bytes) -> np.ndarray | None:
-    import struct
-
+def _builtin_image_gray_strict(payload: bytes, struct) -> np.ndarray | None:
     if payload[:2] == b"BM" and len(payload) >= 54:
         offset, = struct.unpack_from("<I", payload, 10)
         width, height = struct.unpack_from("<ii", payload, 18)

@@ -273,7 +273,9 @@ def _css_innovations(params, yv, p, q, slag):
     for i in range(p):
         base += phi[i] * yv[start - 1 - i : n - 1 - i]
     if slag:
-        base += ps * yv[: n - slag]
+        # rows start..n-1 need yv[t - slag]; start >= slag is NOT implied
+        # when p > slag, so slice relative to start, not 0
+        base += ps * yv[start - slag : n - slag]
     e = np.zeros(n)
     if q == 0:
         e[start:] = yv[start:] - base

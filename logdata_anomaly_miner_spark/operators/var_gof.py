@@ -556,9 +556,17 @@ def s_gof_ladder(
     Groups whose fit is 'static' (constant init sample) are EXCLUDED: a
     static variable has no continuous CDF to slide against — the
     reference routes such variables to the discrete/static d_test path
-    (fit_discrete / d_test_ladder), not s_gof.
+    (fit_discrete / d_test_ladder), not s_gof. Under test='CM' the
+    two-sample dists (emp/betam/spec) are excluded too, explicitly: the
+    reference's CM ladder tests them with a two-sample Cramér–von Mises
+    against tabulated homogeneity critical values (crit_val_hom_cm —
+    author-simulated data with no closed form); silently emitting
+    null statistics would suppress their alarms instead.
     """
+    TWO_SAMPLE_DISTS = ("emp", "betam", "spec", "spec_rev")
     fitted = fitted.filter(F.col("dist") != "static")
+    if test == "CM":
+        fitted = fitted.filter(~F.col("dist").isin(*TWO_SAMPLE_DISTS))
     v = F.col(value_col).cast("double")
     w_ord = Window.partitionBy(*group_cols).orderBy(*[F.col(c) for c in order_cols])
     numbered = (
@@ -584,29 +592,30 @@ def s_gof_ladder(
     # than num_init — which the reference never fits — subsamples its full
     # sample instead of indexing out of bounds under ANSI mode)
     sz = F.size(F.col("_init_sorted"))
-    emp_arrs = (
-        numbered.filter(F.col("_ern") <= num_init)
-        .join(
-            fitted.filter(F.col("dist") == "emp").select(*group_cols),
-            list(group_cols),
-            "left_semi",
+    if test == "KS":
+        emp_arrs = (
+            numbered.filter(F.col("_ern") <= num_init)
+            .join(
+                fitted.filter(F.col("dist") == "emp").select(*group_cols),
+                list(group_cols),
+                "left_semi",
+            )
+            .groupBy(*group_cols)
+            .agg(F.sort_array(F.collect_list(v)).alias("_init_sorted"))
+            .select(
+                *group_cols,
+                F.array(
+                    *[
+                        F.get(
+                            "_init_sorted",
+                            F.floor(sz * F.lit(j) / F.lit(m0)).cast("int"),
+                        )
+                        for j in range(m0)
+                    ]
+                ).alias("_emp_arr"),
+            )
         )
-        .groupBy(*group_cols)
-        .agg(F.sort_array(F.collect_list(v)).alias("_init_sorted"))
-        .select(
-            *group_cols,
-            F.array(
-                *[
-                    F.get(
-                        "_init_sorted",
-                        F.floor(sz * F.lit(j) / F.lit(m0)).cast("int"),
-                    )
-                    for j in range(m0)
-                ]
-            ).alias("_emp_arr"),
-        )
-    )
-    chunked = chunked.join(emp_arrs, list(group_cols), "left")
+        chunked = chunked.join(emp_arrs, list(group_cols), "left")
     ranked = chunked.withColumn(
         "_rn",
         F.row_number()

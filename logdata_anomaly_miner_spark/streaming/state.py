@@ -547,7 +547,8 @@ FREQ_STATE_SCHEMA = "t0 double, cur_w long, cur_cnt long, hist array<long>"
 
 
 def _make_event_frequency_fn(
-    window_size: float, num_windows: int, confidence_factor: float
+    window_size: float, num_windows: int, confidence_factor: float,
+    anchor_t0: float | None = None,
 ):
     cf = float(confidence_factor)
 
@@ -564,7 +565,7 @@ def _make_event_frequency_fn(
         atom), a closed maximal EMPTY run warns once (rank 4) at the atom
         that passes it; every closed count (zeros included) enters the
         trailing history, capped at num_windows."""
-        t0, cur_w, cur_cnt, hist = None, None, 0, []
+        t0, cur_w, cur_cnt, hist = anchor_t0, None, 0, []
         if state.exists:
             st_t0, st_w, st_cnt, st_hist = state.get
             t0 = None if st_t0 is None or pd.isna(st_t0) else float(st_t0)
@@ -581,7 +582,11 @@ def _make_event_frequency_fn(
         for o, ts in zip(rows["ingest_order"], rows["ts"]):
             o, ts = int(o), float(ts)
             if t0 is None:
-                t0, cur_w = ts, 0
+                t0 = ts
+            if cur_w is None:
+                # explicit-anchor keyed mode: the key's first atom may land
+                # past window 0 — open at its own window, no phantom runs
+                cur_w = int((ts - t0) // window_size)
             w_atom = int((ts - t0) // window_size)
             empty_run = False
             while cur_w < w_atom:
@@ -622,17 +627,29 @@ def streaming_event_frequency(
     num_windows: int = 50,
     confidence_factor: float = 0.5,
     key_col: str | None = None,
+    t0: float | None = None,
 ) -> DataFrame:
     """True-streaming EventFrequencyDetector: band anomalies (rank 5) and
     empty-window warnings (rank 4) with the window anchor, open-window
     count and trailing history in the Spark state store. Input: ingest_order
-    long, ts double. Output: (ingest_order of the closing atom, rank)."""
+    long, ts double. Output: (ingest_order of the closing atom, rank).
+
+    Anchor semantics: with the default ``t0=None`` each key's window grid
+    anchors at that key's FIRST atom — exactly the reference's
+    single-stream behavior, and batch-equivalent for ``key_col=None`` (the
+    certified configuration). For MULTI-key use pass the global ``t0``
+    explicitly (as streaming_count_cluster requires) so all keys share the
+    batch operator's global grid; note the batch operator also band-checks
+    a key's zero-count window when OTHER keys kept that window active,
+    which a per-key streaming operator cannot see — a documented
+    divergence for keyed streams."""
     if key_col is None:
         stream = stream.withColumn("_stream_key", F.lit("all"))
         key_col = "_stream_key"
     return stream.groupBy(key_col).applyInPandasWithState(
         _make_event_frequency_fn(
-            float(window_size), int(num_windows), float(confidence_factor)
+            float(window_size), int(num_windows), float(confidence_factor),
+            None if t0 is None else float(t0),
         ),
         FREQ_OUTPUT_SCHEMA,
         FREQ_STATE_SCHEMA,

@@ -330,3 +330,19 @@ def test_mle_tier_improves_likelihood_and_runs_end_to_end(spark):
         spiked, ["k"], p=0, q=1, method="mle", min_train=20, z=4.0
     )
     assert n in {r["w"] for r in out2.filter("anomaly").collect()}
+
+
+def test_css_seasonal_lag_smaller_than_p():
+    """Regression (round-7 review): _css_innovations with 0 < seasonal_lag
+    < p must align the seasonal slice to the conditioning start, not to 0
+    (the old yv[:n-slag] slice had the wrong length and crashed)."""
+    import numpy as np
+
+    from logdata_anomaly_miner_spark.operators.tsa import _css_innovations
+
+    y = np.arange(20, dtype=float) + np.sin(np.arange(20))
+    e, start = _css_innovations([0.1, 0.5, 0.2, 0.3, 0.05], y, 2, 1, 1)
+    assert start == 2 and len(e) == 20
+    t = 5
+    base = 0.1 + 0.5 * y[4] + 0.2 * y[3] + 0.05 * y[4]
+    assert e[t] == pytest.approx(y[t] - (base + 0.3 * e[4]), abs=1e-12)
