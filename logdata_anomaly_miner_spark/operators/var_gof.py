@@ -531,6 +531,7 @@ def s_gof_ladder(
     s_gof_bt_alpha: float = 0.05,
     test: str = "KS",
     spec_quantiles: Sequence[float] | None = None,
+    use_empiric: bool = False,
 ) -> DataFrame:
     """Sliding gof + binomial ladder (reference s_gof_test :1605-1700):
     values after the init sample are cut into consecutive chunks of
@@ -552,6 +553,12 @@ def s_gof_ladder(
     ``stat > crit`` as in the reference.
 
     Returns group_cols + (chunk, stat, failed, n_fails, n_tests, alarm).
+
+    Pass ``use_empiric=True`` when (and only when) the fit was produced
+    with use_empiric — it adds the per-group init-quantile subsample build
+    (one extra ordered pass over the input plus a join); leaving it False
+    keeps the plan free of that machinery for fits that cannot contain
+    'emp' groups.
 
     Groups whose fit is 'static' (constant init sample) are EXCLUDED: a
     static variable has no continuous CDF to slide against — the
@@ -592,7 +599,7 @@ def s_gof_ladder(
     # than num_init — which the reference never fits — subsamples its full
     # sample instead of indexing out of bounds under ANSI mode)
     sz = F.size(F.col("_init_sorted"))
-    if test == "KS":
+    if test == "KS" and use_empiric:
         emp_arrs = (
             numbered.filter(F.col("_ern") <= num_init)
             .join(
@@ -641,7 +648,7 @@ def s_gof_ladder(
     term = _gof_terms(test, sel, F.col("_rn"), F.col("_cn"))
     rn, cn = F.col("_rn"), F.col("_cn")
     two_names = []
-    if test == "KS":
+    if test == "KS" and use_empiric:
         # emp: exact two-sample KS vs the stored m0-point subsample
         le = F.size(F.filter("_emp_arr", lambda e: e <= F.col("_v"))) / F.lit(
             float(m0)
@@ -654,6 +661,7 @@ def s_gof_ladder(
             F.greatest(F.abs(le - rn / cn), F.abs(lt - (rn - 1) / cn)),
         ).otherwise(term)
         two_names.append("emp")
+    if test == "KS":
         # betam: closed-form mixture ECDF in scaled space; chunk values may
         # leave [vmin, vmax], where the mixture ECDF saturates at 0 / 1
         rng = F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0.0))

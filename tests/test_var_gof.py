@@ -390,7 +390,7 @@ def test_emp_ladder_two_sample_ks(spark):
     )
     out = s_gof_ladder(
         df, ["g"], "v", ["i"], fitted,
-        num_init=100, num_s_gof_values=50, num_s_gof_bt=3,
+        num_init=100, num_s_gof_values=50, num_s_gof_bt=3, use_empiric=True,
     ).collect()
     by_chunk = {r["chunk"]: r for r in out}
     # reference subsample: indices int(num_init*j/(2*num_s)) of sorted init
