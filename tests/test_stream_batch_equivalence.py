@@ -425,3 +425,73 @@ def test_streaming_event_frequency_equals_batch(spark):
             w += 1
     assert (4 in {rk for _, rk in expect}) and (5 in {rk for _, rk in expect})
     assert got == expect
+
+
+def test_streaming_event_frequency_keyed_with_global_anchor(spark):
+    """Keyed streaming_event_frequency with an explicit global t0: on a
+    corpus where every key is active in every one of its windows (so the
+    documented keyed divergence — other-key-activity band checks — cannot
+    trigger), per-key decisions must match the batch operator computed per
+    key on the same global grid."""
+    from logdata_anomaly_miner_spark.operators.event_frequency import (
+        check_event_frequency,
+    )
+    from logdata_anomaly_miner_spark.streaming.state import (
+        streaming_event_frequency,
+    )
+
+    ws, nw, cf = 10.0, 50, 0.5
+    t0 = 1000.0
+    rows = []
+    order = 0
+    for w in range(10):
+        for key, n in (("A", 20 if w == 7 else 4), ("B", 3)):
+            for i in range(n):
+                rows.append((order, key, t0 + w * ws + i * (ws / (n + 1)) + 0.01))
+                order += 1
+    rows.sort(key=lambda r: r[2])
+    rows = [(i, k, t) for i, (_, k, t) in enumerate(rows)]
+    schema = "ingest_order long, k string, ts double"
+    with tempfile.TemporaryDirectory() as d:
+        os.makedirs(f"{d}/in")
+        half = len(rows) // 2
+        for lo, hi in ((0, half), (half, len(rows))):
+            spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{d}/in")
+            time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/in")
+        )
+        q = (
+            streaming_event_frequency(
+                stream, window_size=ws, num_windows=nw,
+                confidence_factor=cf, key_col="k", t0=t0,
+            )
+            .writeStream.format("memory").queryName("sbe_freq_keyed")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["ingest_order"], r["rank"])
+            for r in spark.sql("select * from sbe_freq_keyed").collect()
+        }
+    # batch per key on the global grid
+    ev = spark.createDataFrame(rows, schema).select("k", "ts")
+    viol = check_event_frequency(
+        ev, ["k"], window_size=ws, num_windows=nw, confidence_factor=cf, t0=t0
+    ).collect()
+    expect = set()
+    by_key = {}
+    for o, k, t in rows:
+        by_key.setdefault(k, []).append((o, t))
+    for r in viol:
+        closers = [o for o, t in by_key[r["k"]] if t >= t0 + (r["w"] + 1) * ws]
+        expect.add((min(closers), 5))
+    assert expect, "fixture must produce at least one band anomaly"
+    assert got == expect
