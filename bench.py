@@ -110,13 +110,15 @@ def main() -> None:
     suite_wall = None
     res = None
     # Probe host CPU speed fresh (after warmup, before any timed work).
-    # The first full-size probe is discarded: JVM tiered compilation of the
-    # probe's codegen class plus host frequency ramp inflate it ~25%
-    # (measured 1.00/0.74/0.70/0.66 s over four consecutive probes); one
-    # discard leaves a ~5% residual drift floor, far below the 10-30%
-    # drained-credit effect being corrected (BENCH/NOTES.md round 6).
+    # The first full-size probe is discarded (JVM tiered compilation), and
+    # fresh = MIN of the next three: after a long idle the burstable host
+    # ramps frequency over several seconds, so a single post-discard probe
+    # can read ~1.8x high (observed 1.47 s vs a stable 0.8 s tail, r7) and
+    # would inflate every normalized figure by that factor. The minimum is
+    # the right anchor — it estimates the host's attainable speed, which
+    # is what "normalized to fresh-host speed" means.
     cpu_probe()
-    probe_fresh = cpu_probe()
+    probe_fresh = min(cpu_probe() for _ in range(3))
     # ORDERING RULE (round 5, BENCH/NOTES.md): the headline validation
     # suite runs FIRST, on fresh burst credits, so its docs/sec is
     # comparable round-over-round; the 50 engine queries follow. Round 4's

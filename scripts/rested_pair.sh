@@ -22,8 +22,10 @@ run_suite() {  # $1 = cpus -> echoes docs/sec
 
 echo "=== rested pair $(date -u +%FT%TZ) docs=$DOCS n=$NLO 4n=$NHI rest=${REST}s ===" >> "$LOG"
 
-# pre-generate the docs table OUTSIDE any rested window (setup, not measured)
+# pre-generate the docs table OUTSIDE any rested window (setup, not measured);
+# detail goes to /tmp so the warmup can't clobber the round's BENCH/detail_r*.json
 SPARK_GRAFT_CPUS=8 SPARK_GRAFT_BENCH_MODE=suite SPARK_GRAFT_SUITE_DOCS="$DOCS" \
+  SPARK_GRAFT_DETAIL_PATH=/tmp/bench_detail_pair.json \
   python bench.py > /dev/null 2>&1 || true
 echo "warmup+gen done $(date -u +%T)" >> "$LOG"
 
