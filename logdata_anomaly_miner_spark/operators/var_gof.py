@@ -920,3 +920,179 @@ def d_ladder(
             & ((F.col("n_tests") - F.col("n_fails")) < min_success),
         )
     )
+
+
+def changed_var_types(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    order_cols: Sequence[str],
+    num_init: int = 100,
+    num_s_gof_values: int = 50,
+    gof_alpha: float = 0.05,
+    s_gof_alpha: float = 0.05,
+) -> DataFrame:
+    """The reference's changed-var-type events (update_var_type,
+    VariableTypeDetector.py:1199-1268 + print_changed_var_type): when a
+    chunk fails the sliding gof test in learn mode, the variable falls
+    through its ALTERNATIVE distributions — the other candidates the init
+    fit accepted, in descending init significance (the fit's sort_list,
+    :1140-1146) — re-testing the failing chunk against each; the first
+    alternative that passes becomes the new type, else the variable drops
+    to 'others' (:1253-1258). The event carries the reference's confidence
+    1/(1+exp(-2·D))·1.1353352832366128 (:1221-1222).
+
+    Batch re-expression: per (group, chunk), the one-sample KS statistic of
+    EVERY candidate against the chunk (one extra column battery over the
+    chunk pass — same codegen shape as the fit), the init fit's candidate
+    ranking recomputed from the init rows, and the first-passing-alternative
+    scan as a filtered array lookup. Documented deviation (same fixed-model
+    convention as s_gof_ladder): the reference consumes its alternative
+    list ACROSS successive failures of one variable; the batch form
+    evaluates each failed chunk against the full init-accepted alternative
+    list.
+
+    Returns (group_cols..., chunk, old_dist, new_dist, stat, confidence)
+    — one row per failed chunk of a continuous-fitted group. KS mode only.
+    """
+    crit_scale = F.lit(math.sqrt(-math.log(gof_alpha / 2.0) / 2.0))
+    v = F.col(value_col).cast("double")
+    w_ord = Window.partitionBy(*group_cols).orderBy(*[F.col(c) for c in order_cols])
+    numbered = df.filter(v.isNotNull()).withColumn(
+        "_ern", F.row_number().over(w_ord)
+    )
+    init = numbered.filter(F.col("_ern") <= num_init).select(
+        *group_cols, v.alias("_v")
+    )
+    stats = init.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_v").alias("vmin"),
+        F.max("_v").alias("vmax"),
+        F.avg("_v").alias("mu"),
+        F.stddev_pop("_v").alias("sigma"),
+    )
+    names = [
+        name
+        for name, _ in candidate_cdfs(
+            F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(0.0), F.lit(1.0)
+        )
+    ]
+
+    def battery(rows: DataFrame, extra_keys: Sequence[str]) -> DataFrame:
+        """per-(group + extra_keys) KS stat of every candidate."""
+        keys = [*group_cols, *extra_keys]
+        ranked = rows.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy(*keys).orderBy("_v")).cast(
+                "double"
+            ),
+        ).withColumn(
+            "_cn",
+            F.count(F.lit(1))
+            .over(
+                Window.partitionBy(*keys).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("double"),
+        )
+        terms = ranked.select(
+            *keys,
+            F.col("_cn"),
+            *[
+                _gof_terms("KS", cdf, F.col("_rn"), F.col("_cn")).alias(f"_t_{n_}")
+                for n_, cdf in candidate_cdfs(
+                    F.col("_v"),
+                    F.col("vmin"),
+                    F.col("vmax"),
+                    F.col("mu"),
+                    F.col("sigma"),
+                )
+            ],
+        )
+        return terms.groupBy(*keys).agg(
+            F.max("_cn").alias("cn"),
+            *[F.max(f"_t_{n_}").alias(f"_s_{n_}") for n_ in names],
+        )
+
+    # init fit: per-candidate acceptance + rank (ascending c = the
+    # reference's descending-significance order)
+    init_stats = battery(init.join(stats, list(group_cols)), [])
+    ranked_arr = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col(f"_s_{n_}") * F.sqrt(F.col("cn"))).alias("c"),
+                        F.lit(i).alias("ord"),
+                        F.lit(n_).alias("dist"),
+                    )
+                    for i, n_ in enumerate(names)
+                ]
+            ),
+            lambda s: s["c"].isNotNull(),
+        )
+    )
+    fit = init_stats.select(
+        *group_cols,
+        ranked_arr.alias("_ranked"),
+    ).select(
+        *group_cols,
+        F.get("_ranked", 0)["dist"].alias("old_dist"),
+        F.get("_ranked", 0)["c"].alias("_c_best"),
+        # alternatives: accepted candidates after the winner
+        F.filter(
+            F.slice("_ranked", 2, len(names)),
+            lambda s: s["c"] < crit_scale,
+        ).alias("_alts"),
+    ).filter(F.col("_c_best") < crit_scale)  # only accepted fits slide
+
+    # chunk battery
+    chunks = (
+        numbered.filter(F.col("_ern") > num_init)
+        .withColumn("chunk", F.floor((F.col("_ern") - num_init - 1) / num_s_gof_values))
+        .select(*group_cols, "chunk", v.alias("_v"))
+        .join(stats, list(group_cols))
+    )
+    chunk_stats = battery(chunks, ["chunk"]).filter(
+        F.col("cn") >= num_s_gof_values
+    )
+    crit_chunk = F.lit(math.sqrt(-math.log(s_gof_alpha / 2.0) / 2.0)) / F.sqrt(
+        F.col("cn")
+    )
+    joined = chunk_stats.join(fit, list(group_cols))
+    # stat of the fitted dist on this chunk (chained when over old_dist)
+    fitted_stat = F.lit(None).cast("double")
+    for n_ in names:
+        fitted_stat = F.when(F.col("old_dist") == n_, F.col(f"_s_{n_}")).otherwise(
+            fitted_stat
+        )
+    # first alternative whose CHUNK stat passes (order = init ranking)
+    def chunk_stat_expr(dist_col):
+        e = F.lit(None).cast("double")
+        for n_ in names:
+            e = F.when(dist_col == n_, F.col(f"_s_{n_}")).otherwise(e)
+        return e
+
+    passing = F.filter(
+        F.col("_alts"), lambda s: chunk_stat_expr(s["dist"]) < crit_chunk
+    )
+    out = (
+        joined.withColumn("_fstat", fitted_stat)
+        .filter(F.col("_fstat") >= crit_chunk)  # the fitted dist failed
+        .select(
+            *group_cols,
+            "chunk",
+            "old_dist",
+            F.coalesce(
+                F.get(passing, 0)["dist"], F.lit("others")
+            ).alias("new_dist"),
+            F.col("_fstat").alias("stat"),
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(F.lit(-2.0) * F.col("_fstat")))
+                * F.lit(1.1353352832366128)
+            ).alias("confidence"),
+        )
+    )
+    return out

@@ -547,3 +547,58 @@ def test_cm_mode_boundary_mod_statistic_matches_python(spark):
         x = min(max(x, 0.0), 1.0)
         w2 += (x - (2 * i - 1) / (2.0 * n)) ** 2
     assert out["stat"] == pytest.approx(w2, abs=1e-12)
+
+
+def test_changed_var_types_alternative_walk(spark):
+    """update_var_type failure path (reference :1199-1268): a failing chunk
+    walks the init fit's accepted alternatives in init-significance order —
+    an arcsine-shaped chunk moves a uni-fitted variable to beta1, a chunk
+    outside every candidate's support drops it to 'others', and a
+    conforming chunk emits nothing. Statistics and the chosen alternative
+    are verified against a plain-python replica."""
+    from logdata_anomaly_miner_spark.operators.var_gof import changed_var_types
+
+    # chunk size 400: the uniform-vs-arcsine CDF gap is 0.1157, so chunks
+    # must be long enough for crit = 1.3581/sqrt(n) to sit BELOW it
+    init = [((i * 37) % 101) / 101.0 for i in range(100)]        # uniform
+    chunk_ok = [((i * 41) % 400) / 400.0 for i in range(400)]    # uniform
+    arcs = [math.sin(math.pi * ((i + 0.5) / 400) / 2) ** 2 for i in range(400)]
+    lo, hi = min(init), max(init)
+    chunk_b1 = [lo + (hi - lo) * a for a in arcs]                # arcsine
+    chunk_out = [5.0 + 0.01 * i for i in range(400)]             # way out
+    vals = init + chunk_ok + chunk_b1 + chunk_out
+    df = spark.createDataFrame(_rows(vals), "g string, i long, v double")
+    out = {r["chunk"]: r for r in changed_var_types(
+        df, ["g"], "v", ["i"], num_init=100, num_s_gof_values=400
+    ).collect()}
+    # python replica: candidate stats on init and per chunk
+    mu = sum(init) / len(init)
+    sd = math.sqrt(sum((x - mu) ** 2 for x in init) / len(init))
+
+    def ks(vals_, cdf):
+        s_ = sorted(vals_)
+        n = len(s_)
+        return max(
+            max(i / n - cdf(x), cdf(x) - (i - 1) / n)
+            for i, x in enumerate(s_, start=1)
+        )
+
+    clip = lambda x: min(max(x, 0.0), 1.0)
+    f_uni = lambda x: clip((x - lo) / (hi - lo))
+    f_b1 = lambda x: 2 / math.pi * math.asin(math.sqrt(clip((x - lo) / (hi - lo))))
+    crit_init = math.sqrt(-math.log(0.025) / 2) / math.sqrt(100)
+    crit_chunk = math.sqrt(-math.log(0.025) / 2) / math.sqrt(400)
+    assert ks(init, f_uni) < crit_init          # uni fitted
+    assert ks(init, f_b1) < crit_init           # beta1 is an alternative
+    # chunk 0 conforms -> no event
+    assert ks(chunk_ok, f_uni) < crit_chunk and 0 not in out
+    # chunk 1: uni fails, beta1 passes -> changed to beta1
+    assert ks(chunk_b1, f_uni) >= crit_chunk and ks(chunk_b1, f_b1) < crit_chunk
+    assert out[1]["old_dist"] == "uni" and out[1]["new_dist"] == "beta1"
+    assert out[1]["stat"] == pytest.approx(ks(chunk_b1, f_uni), abs=1e-9)
+    d = ks(chunk_b1, f_uni)
+    assert out[1]["confidence"] == pytest.approx(
+        1 / (1 + math.exp(-2 * d)) * 1.1353352832366128, abs=1e-9
+    )
+    # chunk 2: everything fails -> others
+    assert out[2]["old_dist"] == "uni" and out[2]["new_dist"] == "others"
