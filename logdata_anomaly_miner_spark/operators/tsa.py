@@ -66,7 +66,16 @@ def ar1_forecast_bands(
         ).withColumn("_base", F.col("_prev"))
     else:
         raise ValueError("diff must be 0 or 1")
-    d = d.withColumn("_x", F.lag(F.col("_y")).over(w_ord))
+    # The lagged frame feeds three plan branches (fit aggregation, the
+    # scored join, the sigma aggregation); Catalyst does not CSE duplicated
+    # subplans, so without a materialization every branch re-runs the
+    # exchange+sort+window (and whatever lineage ``counts`` carries).
+    # Eager localCheckpoint: the frame is |windows|·|keys| rows (bounded by
+    # time span, not data volume), computed exactly once; blocks are
+    # ContextCleaner-freed when the result is dropped (guide §2.4, §5).
+    d = d.withColumn("_x", F.lag(F.col("_y")).over(w_ord)).localCheckpoint(
+        eager=True
+    )
     y = F.col("_y")
     fit = (
         d.filter(F.col("_x").isNotNull())
@@ -164,6 +173,12 @@ def hr_arma_forecast_bands(
         ).withColumn("_x2", F.lag("_e").over(w_ord))
     else:
         d = d.withColumn("_x2", F.lag("_y", seasonal_lag).over(w_ord))
+    # same rationale as ar1_forecast_bands: the two-regressor frame feeds
+    # the fit aggregation, the scored join and the sigma aggregation —
+    # materialize the bounded |windows|·|keys| frame once instead of
+    # re-running the window lineage per branch (3x in 'seasonal' mode,
+    # plus the stage-1 AR fit lineage in 'ma' mode).
+    d = d.localCheckpoint(eager=True)
     both = F.col("_x1").isNotNull() & F.col("_x2").isNotNull()
     fit = (
         d.filter(both)

@@ -78,13 +78,31 @@ def nonscalar_bnlj(plan: str) -> list[str]:
     for i, ln in enumerate(lines):
         if "BroadcastExchange IdentityBroadcastMode" not in ln:
             continue
+        # leaf references and section boundaries have no subtree below THIS
+        # line — the same exchange is printed with its full subtree at its
+        # definition site, where the scalar check runs for real
+        nxt_line = lines[i + 1].strip() if i + 1 < len(lines) else ""
+        if "ReusedExchange" in ln or nxt_line.endswith("=="):
+            continue
         indent = len(ln) - len(ln.lstrip(" :+-"))
         scalar = False
-        for j in range(i + 1, min(i + 8, len(lines))):
+        for j in range(i + 1, min(i + 20, len(lines))):
             nxt = lines[j]
             if "keys=[]" in nxt or "key=[]" in nxt:
                 scalar = True
                 break
+            # AQE wrappers are transparent for the structure walk: a cached
+            # subplan that was materialized before this plan was printed
+            # embeds BroadcastQueryStage/ShuffleQueryStage nodes and
+            # "== Initial/Final Plan ==" banners (at banner-level indent)
+            # between the exchange and its aggregate
+            if (
+                "QueryStage" in nxt
+                or "AdaptiveSparkPlan" in nxt
+                or "Exchange" in nxt
+                or nxt.strip().startswith("==")
+            ):
+                continue
             if len(nxt) - len(nxt.lstrip(" :+-")) <= indent:
                 break
         if not scalar:
@@ -118,6 +136,10 @@ CONSTRUCT_JOB_ALLOW = {
     # plan branches consume it and a lazy persist lets the first action
     # race-compute it; blocks are ContextCleaner-freed on GC
     "var_corr_validate": "localCheckpoint of the count cube (reused)",
+    # eager localCheckpoint of each variant's bounded lagged window frame
+    # (|windows|·|keys| rows): fit/scored/sigma branches all consume it and
+    # Catalyst does not CSE duplicated subplans (r8 optimization)
+    "tsa": "localCheckpoint of the lagged window frames (reused)",
 }
 
 
