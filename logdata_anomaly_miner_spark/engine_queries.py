@@ -131,6 +131,23 @@ def _persist_slot(df: DataFrame, slot: str) -> DataFrame:
     return out
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism BEFORE
+    per-row-expensive work (regex normalization, shingle generation,
+    pair-melt explosion). Guide §2.5 "input skew": a small single-file
+    table reads as ONE task, so everything up to the first exchange runs
+    on one core. Gated on the scan's actual partitioning — at scale the
+    input yields >= cores splits and this is a no-op (no shuffle added).
+    Only safe for queries whose downstream aggregates are order-insensitive
+    (integer counts / mins / maxes), which is why it is opt-in per query
+    rather than folded into _read."""
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(target, 8):
+        return df
+    return df.repartition(target)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with epoch seconds (es, double) and micros (us, long)."""
     ev = _read(spark, sf_dir, "events")
@@ -346,7 +363,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0 groups; seed determinstic dups (every 20th doc re-ingested under a
     # shifted id, the classic re-crawl shape) so the query certifies both
     # that dup groups surface AND that unique docs stay out
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     if INJECT_BENCH_FAULTS:
         dup = docs.filter("doc_id % 20 = 0").withColumn(
             "doc_id", F.col("doc_id") + F.lit(10_000_000)
@@ -364,7 +381,7 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole thing is a single codegen'd projection)."""
     from logdata_anomaly_miner_spark.functions.text import lang_scores
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     q = lang_scores(quality_features(docs, "text"), "text")
     return q.select(
         "doc_id",
@@ -529,7 +546,7 @@ def q_min_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logdata_anomaly_miner_spark.functions.dedup import portable_simhash_bits
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     return portable_simhash_bits(docs, "doc_id", "text")
 
 
@@ -544,7 +561,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     sig = minhash_signatures(docs, "doc_id", "text", n_hashes=16, shingle_k=3)
     cand = lsh_candidate_pairs(sig, "doc_id", bands=4, rows_per_band=4)
     pairs = ngram_jaccard_pairs(docs, cand, "doc_id", "text", 3, 0.2)
@@ -673,7 +690,7 @@ def q_chi2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logdata_anomaly_miner_spark.operators.correlation import chi_square_pairs
 
     ev = (
-        _events(spark, sf_dir)
+        _spread(_events(spark, sf_dir))
         .withColumn("user_bucket", (F.col("user_id") % 5).cast("string"))
         .withColumn("vbin", F.floor(F.col("value") / 50).cast("string"))
         .withColumn(
@@ -705,7 +722,7 @@ def q_var_corr_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discovery finds that one REAL correlation among the independent
     # pairs and the validation phase then keeps re-confirming it per chunk
     ev = (
-        _events(spark, sf_dir)
+        _spread(_events(spark, sf_dir))
         .withColumn("user_bucket", (F.col("user_id") % 5).cast("string"))
         .withColumn("user_low", (F.col("user_id") % 10).cast("string"))
         .withColumn("vbin", F.floor(F.col("value") / 50).cast("string"))
@@ -758,7 +775,7 @@ def q_jaccard_pairs_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     sig = minhash_signatures_xx(docs, "doc_id", "text", n_hashes=30, shingle_k=3)
     cand = lsh_candidate_pairs(sig, "doc_id", bands=10, rows_per_band=3)
     pairs = ngram_jaccard_pairs(docs, cand, "doc_id", "text", 3, 0.85)
