@@ -74,28 +74,59 @@ def chi_square_pairs(
     Significance without scipy: the Wilson–Hilferty cube-root normal
     approximation z = ((χ²/k)^⅓ − (1 − 2/(9k))) / √(2/(9k)); dependent ⟺
     z > z_α (default α=0.05 one-sided). The same closed form evaluates in
-    the DuckDB oracle. Pairs are few (|cols| choose 2), so the union of
-    per-pair single-row aggregates is the whole plan — each pair's
-    contingency is one groupBy."""
-    outs = []
-    for i, a in enumerate(cols):
-        for b in cols[i + 1 :]:
-            one = chi_square(df, a, b).select(
-                F.lit(a).alias("col_a"),
-                F.lit(b).alias("col_b"),
-                "chi2",
-                "dof",
-            )
-            outs.append(one)
-    if not outs:  # fewer than two columns: empty result, not IndexError
+    the DuckDB oracle.
+
+    Scale shape (r8): ONE scan for all pairs — every pair melts out of the
+    same row (the validate_correlation_pairs pattern), the contingency
+    cube is one count aggregation over (pair, va, vb), and the marginals /
+    grid completion / statistic all derive from that cube. The former
+    per-pair ``chi_square`` union re-scanned the input once per pair
+    (|cols| choose 2 full passes — guide §2.4); per-cell observed counts,
+    expected values, and dof are identical integers/doubles, so the
+    statistic matches the per-pair form (and the oracle) to rounding."""
+    pair_list = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    if not pair_list:  # fewer than two columns: empty result, not IndexError
         return df.sparkSession.createDataFrame(
             [],
             "col_a string, col_b string, chi2 double, dof long, "
             "z double, dependent boolean",
         )
-    combined = outs[0]
-    for o in outs[1:]:
-        combined = combined.unionByName(o)
+    pair_structs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(a).alias("va"),
+            F.col(b).alias("vb"),
+        )
+        for a, b in pair_list
+    ]
+    melted = (
+        df.select(F.explode(F.array(*pair_structs)).alias("_p"))
+        .select("_p.col_a", "_p.col_b", "_p.va", "_p.vb")
+        .filter(F.col("va").isNotNull() & F.col("vb").isNotNull())
+    )
+    obs = melted.groupBy("col_a", "col_b", "va", "vb").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pk = ["col_a", "col_b"]
+    ra = obs.groupBy(*pk, "va").agg(F.sum("cnt").alias("ra"))
+    rb = obs.groupBy(*pk, "vb").agg(F.sum("cnt").alias("rb"))
+    n = obs.groupBy(*pk).agg(F.sum("cnt").alias("n"))
+    # the statistic needs EVERY (va, vb) cell including unobserved ones
+    # (O=0 still contributes E): per-pair cross of the marginals,
+    # left-join observations
+    cells = (
+        ra.join(rb, pk)
+        .join(obs, [*pk, "va", "vb"], "left")
+        .fillna({"cnt": 0})
+        .join(F.broadcast(n), pk)
+        .withColumn("e", F.col("ra") * F.col("rb") / F.col("n"))
+        .withColumn("term", (F.col("cnt") - F.col("e")) ** 2 / F.col("e"))
+    )
+    combined = cells.groupBy(*pk).agg(
+        F.sum("term").alias("chi2"),
+        ((F.countDistinct("va") - 1) * (F.countDistinct("vb") - 1)).alias("dof"),
+    )
     k = F.col("dof").cast("double")
     z = (
         F.pow(F.col("chi2") / k, F.lit(1.0 / 3.0))
