@@ -304,9 +304,13 @@ def run_suite(
     # whole violations union, and its (tiny) collected result carries every
     # metric — no separate count() jobs, each of which would re-run Catalyst
     # analysis over the large union plan (a driver-serial cost).
+    # size over ONE nested leaf, not the struct array: size(spans) forces a
+    # decode of every span field (text included) just to count elements,
+    # while size(spans.offset) prunes the ReadSchema to a single int leaf —
+    # identical value (guide §6: verify pruning reaches the scan)
     part_counts = docs.groupBy("partition").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("spans")).alias("n_spans"),
+        F.sum(F.size(F.col("spans").getField("offset"))).alias("n_spans"),
     )
     verdicts = (
         part_counts.join(

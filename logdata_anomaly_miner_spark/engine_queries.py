@@ -1141,7 +1141,7 @@ def q_time_corr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         mine_time_correlations,
     )
 
-    ev = _events(spark, sf_dir)
+    ev = _spread(_events(spark, sf_dir))
     out = mine_time_correlations(
         ev,
         ["event_type", "user_id"],
