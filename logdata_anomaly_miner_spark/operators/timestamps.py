@@ -71,24 +71,20 @@ def _with_range_bucket(
         )
     probs = F.array(*[F.lit(i / nb) for i in range(1, nb)])
     mm = df.agg(F.percentile_approx(v, probs, F.lit(10_000)).alias("_bnds"))
-    # unrolled, codegen-able comparison sum: higher-order functions
-    # (F.aggregate with a lambda) evaluate INTERPRETED per row — nb-1
-    # interpreted closures per row dominate wide melts. The element_at
-    # chain compiles into whole-stage codegen (nb is a plan-time constant);
-    # null boundaries (input smaller than nb) and a null v contribute 0,
-    # exactly as the lambda's null `when` did.
-    terms = [
-        F.when(v >= F.element_at(F.col("_bnds"), i), 1).otherwise(0)
-        for i in range(1, nb)
-    ]
-    # balanced reduction: a left-deep Add chain overflows the plan
-    # converter's recursion for large nb; the tree keeps depth at log2(nb)
-    while len(terms) > 1:
-        terms = [
-            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
-            for i in range(0, len(terms), 2)
-        ]
-    bucket = F.coalesce(terms[0], F.lit(0))
+    # NOTE (r8): an unrolled when(v >= element_at(_bnds, i)) comparison sum
+    # was tried here to move the bucket id into whole-stage codegen; it
+    # measured 2x SLOWER than this aggregate (the nb-1-term expression is
+    # duplicated into every operator that partitions on _pid, and the
+    # generated code blows past codegen limits), so the single-evaluation
+    # lambda stays.
+    bucket = F.coalesce(
+        F.aggregate(
+            F.col("_bnds"),
+            F.lit(0),
+            lambda acc, b: acc + F.when(v >= b, 1).otherwise(0),
+        ),
+        F.lit(0),
+    )
     return (
         df.crossJoin(F.broadcast(mm))
         .withColumn("_pid", bucket)
