@@ -690,7 +690,7 @@ def q_chi2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logdata_anomaly_miner_spark.operators.correlation import chi_square_pairs
 
     ev = (
-        _spread(_events(spark, sf_dir))
+        _events(spark, sf_dir)
         .withColumn("user_bucket", (F.col("user_id") % 5).cast("string"))
         .withColumn("vbin", F.floor(F.col("value") / 50).cast("string"))
         .withColumn(
@@ -722,7 +722,7 @@ def q_var_corr_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discovery finds that one REAL correlation among the independent
     # pairs and the validation phase then keeps re-confirming it per chunk
     ev = (
-        _spread(_events(spark, sf_dir))
+        _events(spark, sf_dir)
         .withColumn("user_bucket", (F.col("user_id") % 5).cast("string"))
         .withColumn("user_low", (F.col("user_id") % 10).cast("string"))
         .withColumn("vbin", F.floor(F.col("value") / 50).cast("string"))
@@ -1141,7 +1141,7 @@ def q_time_corr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         mine_time_correlations,
     )
 
-    ev = _spread(_events(spark, sf_dir))
+    ev = _events(spark, sf_dir)
     out = mine_time_correlations(
         ev,
         ["event_type", "user_id"],
