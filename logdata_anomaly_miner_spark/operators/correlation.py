@@ -109,22 +109,25 @@ def chi_square_pairs(
         F.count(F.lit(1)).alias("cnt")
     )
     pk = ["col_a", "col_b"]
-    ra = obs.groupBy(*pk, "va").agg(F.sum("cnt").alias("ra"))
-    rb = obs.groupBy(*pk, "vb").agg(F.sum("cnt").alias("rb"))
-    n = obs.groupBy(*pk).agg(F.sum("cnt").alias("n"))
-    # the statistic needs EVERY (va, vb) cell including unobserved ones
-    # (O=0 still contributes E): per-pair cross of the marginals,
-    # left-join observations
+    # marginals as integer window sums over the observed cells, statistic
+    # via the closed form Σ_grid (O−E)²/E = Σ_obs O²/E − n (an unobserved
+    # grid cell has O=0 and contributes only its E; ΣE over the completed
+    # grid is exactly n) — no marginal-product grid join needed
+    # (validate_correlation_pairs uses the identical form, with the
+    # derivation)
+    from pyspark.sql import Window as _W
+
     cells = (
-        ra.join(rb, pk)
-        .join(obs, [*pk, "va", "vb"], "left")
-        .fillna({"cnt": 0})
-        .join(F.broadcast(n), pk)
+        obs.withColumn("ra", F.sum("cnt").over(_W.partitionBy(*pk, "va")))
+        .withColumn("rb", F.sum("cnt").over(_W.partitionBy(*pk, "vb")))
+        .withColumn("n", F.sum("cnt").over(_W.partitionBy(*pk)))
         .withColumn("e", F.col("ra") * F.col("rb") / F.col("n"))
-        .withColumn("term", (F.col("cnt") - F.col("e")) ** 2 / F.col("e"))
     )
     combined = cells.groupBy(*pk).agg(
-        F.sum("term").alias("chi2"),
+        (
+            F.sum(F.col("cnt") * F.col("cnt") / F.col("e"))
+            - F.max("n").cast("double")
+        ).alias("chi2"),
         ((F.countDistinct("va") - 1) * (F.countDistinct("vb") - 1)).alias("dof"),
     )
     k = F.col("dof").cast("double")
@@ -439,21 +442,30 @@ def validate_correlation_pairs(
         # as the mono-id-pinning checkpoints.
         .localCheckpoint()
     )
-    # discovery: chi² independence per pair over the init sample, grid
-    # completed from the marginals (unobserved cells still contribute E)
+    # discovery: chi² independence per pair over the init sample. The
+    # marginals ride as integer window sums over the observed cells
+    # (identical values to the former groupBy+join chain — integer
+    # addition, deterministic), and the statistic uses the closed form
+    #   Σ_grid (O−E)²/E = Σ_obs O²/E − 2·ΣO + ΣE = Σ_obs O²/E − n
+    # (an unobserved grid cell has O=0 and contributes only its E, and ΣE
+    # over the marginal-completed grid is exactly n), so the grid
+    # completion join chain is unnecessary (r8, guide §2.4: the former
+    # plan ran 3 aggregations + a 3-way join chain here).
     obs = cube.filter(F.col("chunk") == -1).drop("chunk")
-    ra = obs.groupBy("pair", "va").agg(F.sum("cnt").alias("ra"))
-    rb = obs.groupBy("pair", "vb").agg(F.sum("cnt").alias("rb"))
-    nn = obs.groupBy("pair").agg(F.sum("cnt").alias("n"))
+    w_pa = Window.partitionBy("pair", "va")
+    w_pb = Window.partitionBy("pair", "vb")
+    w_p = Window.partitionBy("pair")
     cells = (
-        ra.join(rb, "pair")
-        .join(nn, "pair")
-        .join(obs, ["pair", "va", "vb"], "left")
-        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        obs.withColumn("ra", F.sum("cnt").over(w_pa))
+        .withColumn("rb", F.sum("cnt").over(w_pb))
+        .withColumn("n", F.sum("cnt").over(w_p))
         .withColumn("e", F.col("ra") * F.col("rb") / F.col("n"))
     )
     disc = cells.groupBy("pair").agg(
-        F.sum((F.col("cnt") - F.col("e")) ** 2 / F.col("e")).alias("chi2"),
+        (
+            F.sum(F.col("cnt") * F.col("cnt") / F.col("e"))
+            - F.max("n").cast("double")
+        ).alias("chi2"),
         ((F.countDistinct("va") - 1) * (F.countDistinct("vb") - 1))
         .cast("long")
         .alias("dof"),
@@ -468,8 +480,7 @@ def validate_correlation_pairs(
     # homogeneity baseline: the dependent pairs' init joint distribution
     bl = (
         obs.join(F.broadcast(dep), "pair", "left_semi")
-        .join(nn, "pair")
-        .withColumn("p", F.col("cnt") / F.col("n"))
+        .withColumn("p", F.col("cnt") / F.sum("cnt").over(w_p))
         .select("pair", "va", "vb", "p")
     )
     num_diff = bl.groupBy("pair").agg(F.count(F.lit(1)).alias("num_diff"))
@@ -485,16 +496,30 @@ def validate_correlation_pairs(
         .filter(F.col("cn") >= num_update)
         .select("pair", "chunk")
     )
-    grid = (
-        bl.join(full_chunks, "pair")
-        .join(obs_post, ["pair", "chunk", "va", "vb"], "left")
-        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+    # closed form again (r8): the per-chunk grid is the baseline support
+    # with O=0 wherever the chunk lacks the combo, so
+    #   Σ_bl (O−E)²/E = Σ_{bl∩chunk}[(O−E)²/E − E] + num_update·Σ_bl p
+    # with Σ_bl p = 1 by construction — only observed∩baseline cells are
+    # touched, chunks with no overlap get exactly num_update, and the
+    # bl × full_chunks grid expansion join disappears.
+    matched = (
+        obs_post.join(full_chunks, ["pair", "chunk"], "left_semi")
+        .join(bl, ["pair", "va", "vb"])
         .withColumn("e", F.col("p") * F.lit(float(num_update)))
-        .withColumn("term", (F.col("cnt") - F.col("e")) ** 2 / F.col("e"))
+        .withColumn(
+            "term", (F.col("cnt") - F.col("e")) ** 2 / F.col("e") - F.col("e")
+        )
     )
     chi2 = (
-        grid.groupBy("pair", "chunk")
-        .agg(F.sum("term").alias("chi2"))
+        full_chunks.join(
+            matched.groupBy("pair", "chunk").agg(F.sum("term").alias("_s")),
+            ["pair", "chunk"],
+            "left",
+        )
+        .withColumn(
+            "chi2", F.coalesce(F.col("_s"), F.lit(0.0)) + F.lit(float(num_update))
+        )
+        .drop("_s")
         .join(F.broadcast(num_diff), "pair")
         .withColumn("dof", (F.col("num_diff") - 1).cast("long"))
     )
