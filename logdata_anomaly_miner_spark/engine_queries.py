@@ -363,7 +363,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0 groups; seed determinstic dups (every 20th doc re-ingested under a
     # shifted id, the classic re-crawl shape) so the query certifies both
     # that dup groups surface AND that unique docs stay out
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _read(spark, sf_dir, "documents")
     if INJECT_BENCH_FAULTS:
         dup = docs.filter("doc_id % 20 = 0").withColumn(
             "doc_id", F.col("doc_id") + F.lit(10_000_000)
