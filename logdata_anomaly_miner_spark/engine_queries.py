@@ -556,14 +556,17 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs product). The oracle replicates the identical deterministic
     banding + verification."""
     from logdata_anomaly_miner_spark.functions.dedup import (
-        lsh_candidate_pairs,
-        minhash_signatures,
+        minhash_lsh_candidates,
         ngram_jaccard_pairs,
     )
 
     docs = _spread(_read(spark, sf_dir, "documents"))
-    sig = minhash_signatures(docs, "doc_id", "text", n_hashes=16, shingle_k=3)
-    cand = lsh_candidate_pairs(sig, "doc_id", bands=4, rows_per_band=4)
+    # fused minhash+banding: byte-identical buckets to the two-step
+    # minhash_signatures -> lsh_candidate_pairs path, one less shuffle
+    cand = minhash_lsh_candidates(
+        docs, "doc_id", "text", n_hashes=16, shingle_k=3, bands=4,
+        rows_per_band=4,
+    )
     pairs = ngram_jaccard_pairs(docs, cand, "doc_id", "text", 3, 0.2)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -770,14 +773,17 @@ def q_jaccard_pairs_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (miss probability ~6e-6 per pair at jaccard 0.88; 3-row
     bands keep false candidates ~|true pairs|, unlike 2-row bands)."""
     from logdata_anomaly_miner_spark.functions.dedup import (
-        lsh_candidate_pairs,
-        minhash_signatures_xx,
+        minhash_lsh_candidates,
         ngram_jaccard_pairs,
     )
 
     docs = _spread(_read(spark, sf_dir, "documents"))
-    sig = minhash_signatures_xx(docs, "doc_id", "text", n_hashes=30, shingle_k=3)
-    cand = lsh_candidate_pairs(sig, "doc_id", bands=10, rows_per_band=3)
+    # fused minhash+banding (see q_jaccard_pairs): identical buckets,
+    # |docs|*n_hashes stack + (id, band) aggregation shuffle removed
+    cand = minhash_lsh_candidates(
+        docs, "doc_id", "text", n_hashes=30, shingle_k=3, bands=10,
+        rows_per_band=3, use_xx=True,
+    )
     pairs = ngram_jaccard_pairs(docs, cand, "doc_id", "text", 3, 0.85)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 

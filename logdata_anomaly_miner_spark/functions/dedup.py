@@ -130,6 +130,73 @@ def minhash_signatures_xx(
     )
 
 
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    use_xx: bool = False,
+) -> DataFrame:
+    """Fused minhash + banding (r8): candidate pairs straight from the
+    wide signature aggregation. Produces byte-identical buckets to
+    ``minhash_signatures(_xx)`` → ``lsh_candidate_pairs`` — the band
+    bucket is md5 of the band's minhash values concatenated in seed order,
+    exactly the string the unfused path builds from
+    sort_array(collect_list(struct(seed, minhash))) — but the per-seed
+    stack() expansion and the second (id, band) aggregation (a full
+    shuffle of |docs|·n_hashes rows plus a collect_list sort per band)
+    never materialize: buckets project directly off the one wide-agg row
+    per document (guide §2.4: remove shuffles outright)."""
+    if bands * rows_per_band > n_hashes:
+        raise ValueError("bands * rows_per_band must be <= n_hashes")
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    if use_xx:
+        base = F.xxhash64(F.col("sh"))
+        mins = [
+            F.min(F.xxhash64(F.lit(i), base)).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
+    agg = ex.groupBy("_id").agg(*mins)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"_h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = agg.select(
+        F.col("_id").alias(id_col),
+        F.explode(F.array(*band_structs)).alias("_bb"),
+    ).select(id_col, "_bb.band", "_bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

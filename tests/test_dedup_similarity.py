@@ -60,6 +60,40 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert 0.3 <= got[(1, 4)] < 1.0
 
 
+def test_fused_minhash_banding_matches_two_step(spark):
+    """minhash_lsh_candidates (r8 fused path — buckets projected straight
+    off the wide aggregation) must emit exactly the candidate set of the
+    unfused minhash_signatures(_xx) -> lsh_candidate_pairs pipeline: the
+    band bucket md5 input string is identical by construction, for both
+    hash families."""
+    from logdata_anomaly_miner_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures_xx,
+    )
+
+    docs = _docs(spark)
+    for use_xx, nh, bands, rpb in [(False, 16, 4, 4), (True, 30, 10, 3)]:
+        sig = (
+            minhash_signatures_xx(docs, "doc_id", "text", n_hashes=nh, shingle_k=3)
+            if use_xx
+            else minhash_signatures(docs, "doc_id", "text", n_hashes=nh, shingle_k=3)
+        )
+        two_step = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(
+                sig, "doc_id", bands=bands, rows_per_band=rpb
+            ).collect()
+        }
+        fused = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(
+                docs, "doc_id", "text", n_hashes=nh, shingle_k=3,
+                bands=bands, rows_per_band=rpb, use_xx=use_xx,
+            ).collect()
+        }
+        assert fused == two_step and fused
+
+
 def test_jaccard_shingle_df_cap(spark):
     """A planted stop-shingle shared by EVERY doc must not drive candidate
     generation when max_shingle_df is set: pairs overlapping only on the
