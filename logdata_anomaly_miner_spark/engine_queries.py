@@ -423,10 +423,17 @@ def q_monotonic_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _events(spark, sf_dir)
-    out = monotonic_adjust(ev, ts_col="us", order_cols=["event_id"], out_col="us_adj")
-    uns = unsorted_timestamps(ev, ts_col="us", order_cols=["event_id"]).select(
-        "event_id", F.lit(1).alias("_bw")
+    # width bucket mode: the order column is the dense ingest id, so
+    # equal-width boundaries are balanced by construction and skip the
+    # percentile pass + per-row boundary-count lambda (identical output —
+    # any order-consistent bucketing gives the same prefix positions)
+    out = monotonic_adjust(
+        ev, ts_col="us", order_cols=["event_id"], out_col="us_adj",
+        bucket_mode="width",
     )
+    uns = unsorted_timestamps(
+        ev, ts_col="us", order_cols=["event_id"], bucket_mode="width"
+    ).select("event_id", F.lit(1).alias("_bw"))
     return out.join(F.broadcast(uns), "event_id", "left").select(
         "event_id",
         F.round(F.col("us_adj") / 1_000_000.0, 6).alias("ts_adj"),

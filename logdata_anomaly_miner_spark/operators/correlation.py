@@ -390,14 +390,24 @@ def validate_correlation_pairs(
         )
         for a, b in pair_list
     ]
-    melted = (
-        df.select(*order_cols, F.explode(F.array(*pair_structs)).alias("_p"))
-        .select(*order_cols, "_p.pair", "_p.va", "_p.vb")
+    # bucket the ATOMS, then melt (r8): _pid is a function of the order
+    # column only, so computing it before the |pairs|x explode evaluates
+    # the boundary comparison |pairs| times less per pass; width mode
+    # replaces the percentile pass + per-row count-boundaries lambda with
+    # one codegen'd width_bucket (the reference orders by a dense ingest
+    # id, uniform by construction, so equal-width boundaries stay
+    # balanced). Any order-consistent bucketing yields identical prefix
+    # positions — see _with_range_bucket's width-mode note.
+    pre = _with_range_bucket(df, order_cols, num_buckets, mode="width")
+    bucketed = (
+        pre.select(
+            *order_cols, "_pid", F.explode(F.array(*pair_structs)).alias("_p")
+        )
+        .select(*order_cols, "_pid", "_p.pair", "_p.va", "_p.vb")
         .filter(F.col("va").isNotNull() & F.col("vb").isNotNull())
     )
     # per-pair row position, distributed: local row_number per range bucket
     # + broadcast carry of earlier buckets' per-pair counts
-    bucketed = _with_range_bucket(melted, order_cols, num_buckets)
     w_local = Window.partitionBy("pair", "_pid").orderBy(
         *[F.col(c) for c in order_cols]
     )
